@@ -1,0 +1,8 @@
+from lpi_tpu.losses.clip_loss import (  # noqa: F401
+    clip_loss,
+    global_clip_loss,
+    alignment_loss,
+    nt_bxent_loss,
+    task_prompt_loss,
+    info_nce,
+)

@@ -1,0 +1,36 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via the standard JAX
+trick of forcing N host platform devices (SURVEY.md §4). This must happen
+before jax initializes, hence at conftest import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# The container's sitecustomize pre-imports jax with the TPU platform
+# selected; backends are not initialized yet, so re-point to CPU here.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from lpi_tpu.core import mesh as mesh_lib
+    from lpi_tpu.core.config import MeshConfig
+
+    return mesh_lib.make_mesh(MeshConfig(data_parallel=8))
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,145 @@
+"""Golden-value tests for the contrastive losses.
+
+torch (CPU) is used as an independent numerical oracle: the expected values
+are computed with torch functional ops following the published formulas from
+the LPI paper, then compared against our jnp implementations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lpi_tpu.losses import (
+    alignment_loss,
+    clip_loss,
+    global_clip_loss,
+    info_nce,
+    nt_bxent_loss,
+    task_prompt_loss,
+)
+
+
+def torch_clip_loss(logits: np.ndarray) -> float:
+    t = torch.tensor(logits, dtype=torch.float32)
+    labels = torch.arange(t.shape[0])
+    return 0.5 * (F.cross_entropy(t, labels) + F.cross_entropy(t.T, labels)).item()
+
+
+def torch_nt_bxent(x: np.ndarray, target: np.ndarray, temperature: float) -> float:
+    xt = torch.tensor(x, dtype=torch.float32)
+    tt = torch.tensor(target, dtype=torch.float32)
+    xcs = F.cosine_similarity(xt[None, :, :], xt[:, None, :], dim=-1)
+    xcs[torch.eye(xt.size(0)).bool()] = float("inf")
+    loss = F.binary_cross_entropy_with_logits(
+        input=(xcs / temperature).sigmoid(), target=tt, reduction="none"
+    )
+    pos = tt.bool()
+    loss_pos = torch.where(pos, loss, torch.zeros(())).sum(dim=1)
+    loss_neg = torch.where(pos, torch.zeros(()), loss).sum(dim=1)
+    num_pos = tt.sum(dim=1)
+    num_neg = xt.size(0) - num_pos
+    return ((loss_pos / num_pos) + (loss_neg / num_neg)).mean().item()
+
+
+class TestClipLoss:
+    def test_matches_torch(self, rng):
+        logits = rng.randn(16, 16).astype(np.float32) * 3
+        got = float(clip_loss(jnp.asarray(logits)))
+        assert got == pytest.approx(torch_clip_loss(logits), rel=1e-5)
+
+    def test_identity_logits_low_loss(self):
+        logits = jnp.eye(8) * 100.0
+        assert float(clip_loss(logits)) < 1e-3
+
+    def test_symmetric(self, rng):
+        logits = rng.randn(8, 8).astype(np.float32)
+        a = float(clip_loss(jnp.asarray(logits)))
+        b = float(clip_loss(jnp.asarray(logits.T)))
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+class TestGlobalClipLoss:
+    def test_unsharded_equals_matrix_loss(self, rng):
+        img = rng.randn(32, 64).astype(np.float32)
+        txt = rng.randn(32, 64).astype(np.float32)
+        img /= np.linalg.norm(img, axis=-1, keepdims=True)
+        txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = 100.0  # logit_scale.exp() at CLIP init
+        expected = torch_clip_loss(scale * img @ txt.T)
+        got = float(global_clip_loss(jnp.asarray(img), jnp.asarray(txt), scale))
+        assert got == pytest.approx(expected, rel=1e-4)
+
+    def test_sharded_equals_global(self, mesh8, rng):
+        """Sharded local-loss formulation == full-matrix loss (SURVEY §2.5)."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        img = rng.randn(32, 64).astype(np.float32)
+        txt = rng.randn(32, 64).astype(np.float32)
+        img /= np.linalg.norm(img, axis=-1, keepdims=True)
+        txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = 10.0
+        expected = torch_clip_loss(scale * img @ txt.T)
+
+        fn = shard_map(
+            lambda i, t: global_clip_loss(i, t, scale, axis_name="data"),
+            mesh=mesh8,
+            in_specs=(P("data", None), P("data", None)),
+            out_specs=P(),
+        )
+        got = float(jax.jit(fn)(jnp.asarray(img), jnp.asarray(txt)))
+        assert got == pytest.approx(expected, rel=1e-4)
+
+
+class TestNtBxent:
+    @pytest.mark.parametrize("temperature", [1.0, 0.1, 0.001])
+    def test_matches_torch(self, rng, temperature):
+        x = rng.randn(6, 40).astype(np.float32)
+        target = (rng.rand(6, 6) > 0.5).astype(np.float32)
+        np.fill_diagonal(target, 1.0)  # diagonal always positive (self-sim 1 > thr)
+        got = float(nt_bxent_loss(jnp.asarray(x), jnp.asarray(target), temperature))
+        assert got == pytest.approx(torch_nt_bxent(x, target, temperature), rel=1e-4)
+
+    def test_two_tasks(self, rng):
+        """Smallest real case: session 2 trains over 2 seen tasks."""
+        x = rng.randn(2, 9 * 16 * 8).astype(np.float32)
+        target = np.eye(2, dtype=np.float32)
+        got = float(nt_bxent_loss(jnp.asarray(x), jnp.asarray(target), 0.001))
+        assert got == pytest.approx(torch_nt_bxent(x, target, 0.001), rel=1e-4)
+
+
+class TestAlignmentLoss:
+    def test_matches_reference_math(self, rng):
+        """slinet.py:144-159: channel-mean, /T, 9x9 symmetric CE."""
+        vis = rng.randn(9, 16, 768).astype(np.float32)
+        txt = rng.randn(9, 16, 512).astype(np.float32)
+        v = vis.mean(-1) / 0.01
+        t = txt.mean(-1) / 0.01
+        expected = torch_clip_loss(v @ t.T)
+        got = float(alignment_loss(jnp.asarray(vis), jnp.asarray(txt), 0.01))
+        assert got == pytest.approx(expected, rel=1e-4)
+
+
+class TestTaskPromptLoss:
+    def test_average_of_modalities(self, rng):
+        v = rng.randn(3, 100).astype(np.float32)
+        t = rng.randn(3, 80).astype(np.float32)
+        rel = np.eye(3, dtype=np.float32)
+        rel[0, 1] = rel[1, 0] = 1.0
+        expected = 0.5 * (torch_nt_bxent(v, rel, 0.001) + torch_nt_bxent(t, rel, 0.001))
+        got = float(task_prompt_loss(jnp.asarray(v), jnp.asarray(t), jnp.asarray(rel), 0.001))
+        assert got == pytest.approx(expected, rel=1e-4)
+
+
+class TestInfoNce:
+    def test_matches_torch(self, rng):
+        q = rng.randn(8, 32).astype(np.float32)
+        k = rng.randn(8, 32).astype(np.float32)
+        qt = F.normalize(torch.tensor(q), dim=-1)
+        kt = F.normalize(torch.tensor(k), dim=-1)
+        expected = F.cross_entropy(qt @ kt.T / 0.1, torch.arange(8)).item()
+        got = float(info_nce(jnp.asarray(q), jnp.asarray(k), 0.1))
+        assert got == pytest.approx(expected, rel=1e-5)
