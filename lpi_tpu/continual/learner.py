@@ -1,0 +1,270 @@
+"""Continual retrieval learner: the 12-session driver.
+
+TPU-native equivalent of the reference's SPrompts method
+(`retrieval/methods/sprompt.py:104-646`) + trainer (`retrieval/trainer.py`):
+
+* per session: fresh SGD(momentum, cosine-per-epoch) over ONLY the current
+  task's prompt-pool slices (gradients to the frozen towers are never
+  computed — the loss is differentiated w.r.t. the pool subtree alone);
+* loss = base InfoNCE + 0.1 x cross-modal alignment + 0.1 x inter-task
+  contrastive (sessions >= 2), `slinet.py:137-183`;
+* after each session: on-device KMeans task keys from frozen features;
+* evaluation: per-sample task-ID inference -> batched prompt gather ->
+  full feature matrices -> per-task R@k.
+
+The train step is one jit per session (task id is static); batches are
+sharded over the mesh's data axis, parameters replicated — XLA inserts the
+all-gathers for the batch-global logits matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+from flax.core import unfreeze
+
+from lpi_tpu.core.config import RetrievalConfig
+from lpi_tpu.core import mesh as mesh_lib
+from lpi_tpu.continual.keys import TaskKeys, infer_task_ids
+from lpi_tpu.data.retrieval import RetrievalEvalSet, RetrievalTrainSet
+from lpi_tpu.eval.retrieval import itm_eval
+from lpi_tpu.losses import alignment_loss, clip_loss, task_prompt_loss
+from lpi_tpu.models.clip import SliNet
+from lpi_tpu.ops.kmeans import kmeans
+
+POOL_KEYS = ("prompts", "ctx_pool")
+
+
+def _split_params(params: dict):
+    """Partition into (pool_params, frozen_params) by path."""
+    flat = traverse_util.flatten_dict(unfreeze(params))
+    pools = {k: v for k, v in flat.items() if any(p in "/".join(k) for p in POOL_KEYS)}
+    frozen = {k: v for k, v in flat.items() if k not in pools}
+    return pools, frozen
+
+
+def _merge_params(pools: dict, frozen: dict) -> dict:
+    return traverse_util.unflatten_dict({**pools, **frozen})
+
+
+def _epoch_cosine(base_lr: float, epochs: int, steps_per_epoch: int):
+    """torch CosineAnnealingLR stepped per epoch (`sprompt.py:254,324`)."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
+
+    return schedule
+
+
+class RetrievalLearner:
+    """Host-side continual driver around the jitted per-session train step."""
+
+    def __init__(
+        self,
+        cfg: RetrievalConfig,
+        mesh=None,
+        task_sim_matrix: Optional[np.ndarray] = None,
+        rng_seed: Optional[int] = None,
+        init_params: Optional[dict] = None,
+        sample_batch: Optional[dict] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model = SliNet(cfg)
+        seed = cfg.seed if rng_seed is None else rng_seed
+        key = jax.random.PRNGKey(seed)
+
+        if sample_batch is None:
+            r = cfg.clip.image_resolution
+            sample_batch = {
+                "images": np.zeros((2, r, r, 3), np.float32),
+                "token_ids": np.zeros((2, cfg.clip.context_length), np.int32),
+            }
+        variables = self.model.init(
+            key, jnp.asarray(sample_batch["images"]),
+            jnp.asarray(sample_batch["token_ids"]), 0)
+        params = unfreeze(variables["params"])
+        if init_params is not None:  # pretrained CLIP weights
+            flat = traverse_util.flatten_dict(params)
+            incoming = traverse_util.flatten_dict(unfreeze(init_params))
+            for k, v in incoming.items():
+                if k in flat:
+                    if flat[k].shape != v.shape:
+                        raise ValueError(f"shape mismatch for {k}: {flat[k].shape} vs {v.shape}")
+                    flat[k] = jnp.asarray(v)
+            params = traverse_util.unflatten_dict(flat)
+        self.params = params
+        if mesh is not None:
+            self.params = mesh_lib.replicate(mesh, self.params)
+
+        T = cfg.total_sessions
+        if task_sim_matrix is None:
+            task_sim_matrix = np.eye(T, dtype=np.float32)
+        rel = (np.asarray(task_sim_matrix) > cfg.lpi.task_sim_threshold).astype(np.float32)
+        self.task_relation = jnp.asarray(rel)
+
+        feat_dim = cfg.clip.embed_dim
+        self.visual_keys = TaskKeys.create(T, cfg.num_key_clusters, feat_dim)
+        self.textual_keys = TaskKeys.create(T, cfg.num_key_clusters, feat_dim)
+        self.session_results: Dict[int, dict] = {}
+        self._encode_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _losses(self, pool_params, frozen_params, batch, task_id: int):
+        cfg = self.cfg
+        params = _merge_params(pool_params, frozen_params)
+        img, txt, vis_p, txt_p, scale = self.model.apply(
+            {"params": params}, batch["images"], batch["token_ids"], task_id)
+        losses = {"base_loss": clip_loss(scale * img @ txt.T)}
+        if cfg.lpi.prompt_type == "lpi":
+            if cfg.lpi.layer_alignment:
+                losses["alignment_loss"] = cfg.lpi.alignment_weight * alignment_loss(
+                    vis_p, txt_p, cfg.lpi.alignment_temperature)
+            if cfg.lpi.task_alignment and task_id >= 1:
+                vis_all, txt_all = self.model.apply(
+                    {"params": params}, method=self.model.all_task_prompts)
+                s = task_id + 1
+                losses["task_loss"] = cfg.lpi.task_loss_weight * task_prompt_loss(
+                    vis_all[:s].reshape(s, -1), txt_all[:s].reshape(s, -1),
+                    self.task_relation[:s, :s], cfg.lpi.task_temperature)
+        total = sum(losses.values())
+        return total, losses
+
+    def _make_train_step(self, task_id: int, steps_per_epoch: int, epochs: int):
+        cfg = self.cfg
+        schedule = _epoch_cosine(cfg.lr, epochs, steps_per_epoch)
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(learning_rate=schedule, momentum=cfg.momentum),
+        )
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(pool_params, opt_state, frozen_params, batch):
+            (total, losses), grads = jax.value_and_grad(
+                self._losses, has_aux=True)(pool_params, frozen_params, batch, task_id)
+            # only the current task's slice may move (leading axis = task)
+            onehot = {
+                k: jax.nn.one_hot(task_id, v.shape[0], dtype=v.dtype).reshape(
+                    (v.shape[0],) + (1,) * (v.ndim - 1))
+                for k, v in grads.items()
+            }
+            grads = {k: g * onehot[k] for k, g in grads.items()}
+            updates, opt_state = tx.update(grads, opt_state, pool_params)
+            updates = {k: u * onehot[k] for k, u in updates.items()}
+            pool_params = optax.apply_updates(pool_params, updates)
+            return pool_params, opt_state, {"total": total, **losses}
+
+        return tx, step
+
+    def train_session(self, dataset: RetrievalTrainSet, epochs: Optional[int] = None,
+                      log_every: int = 50) -> Dict[str, float]:
+        """Train one continual session on its task's data."""
+        cfg = self.cfg
+        task_id = dataset.task_index
+        epochs = epochs or cfg.epochs
+        steps_per_epoch = max(len(dataset) // cfg.batch_size, 1)
+        tx, step = self._make_train_step(task_id, steps_per_epoch, epochs)
+
+        pools, frozen = _split_params(self.params)
+        opt_state = tx.init(pools)
+        metrics = {}
+        for epoch in range(epochs):
+            for it, batch in enumerate(dataset.batches(cfg.batch_size, seed=cfg.seed + epoch)):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.mesh is not None:
+                    batch = mesh_lib.shard_batch(self.mesh, batch)
+                pools, opt_state, metrics = step(pools, opt_state, frozen, batch)
+        self.params = _merge_params(pools, frozen)
+        self.cluster_task(dataset)
+        return {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+    def _jit_cached(self, name, fn):
+        if name not in self._encode_cache:
+            self._encode_cache[name] = jax.jit(fn)
+        return self._encode_cache[name]
+
+    def extract_visual(self, images) -> jnp.ndarray:
+        fn = self._jit_cached(
+            "extract_visual",
+            lambda p, x: self.model.apply({"params": p}, x, method=self.model.extract_visual))
+        return fn(self.params, jnp.asarray(images))
+
+    def extract_textual(self, token_ids) -> jnp.ndarray:
+        fn = self._jit_cached(
+            "extract_textual",
+            lambda p, x: self.model.apply({"params": p}, x, method=self.model.extract_textual))
+        return fn(self.params, jnp.asarray(token_ids))
+
+    def cluster_task(self, dataset: RetrievalTrainSet):
+        """KMeans task keys over the session's frozen features
+        (`sprompt.py:370-403`)."""
+        cfg = self.cfg
+        vis_feats, txt_feats = [], []
+        for batch in dataset.batches(cfg.batch_size, seed=0, drop_remainder=False):
+            vis_feats.append(self.extract_visual(batch["images"]))
+            txt_feats.append(self.extract_textual(batch["token_ids"]))
+        vis = jnp.concatenate(vis_feats)[: len(dataset)]
+        txt = jnp.concatenate(txt_feats)[: len(dataset)]
+        k = cfg.num_key_clusters
+        key = jax.random.PRNGKey(0)
+        vc, _ = kmeans(key, vis, k=k)
+        tc, _ = kmeans(key, txt, k=k)
+        self.visual_keys = self.visual_keys.update(dataset.task_index, vc)
+        self.textual_keys = self.textual_keys.update(dataset.task_index, tc)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, eval_set: RetrievalEvalSet, num_tasks: int) -> dict:
+        """Cumulative retrieval eval with task-ID inference
+        (`_evaluate_retrieval`, sprompt.py:433-549)."""
+        cfg = self.cfg
+        enc_img = self._jit_cached(
+            "encode_image_tasks",
+            lambda p, x, t: self.model.apply(
+                {"params": p}, x, t, method=self.model.encode_image_tasks))
+        enc_txt = self._jit_cached(
+            "encode_text_tasks",
+            lambda p, x, t: self.model.apply(
+                {"params": p}, x, t, method=self.model.encode_text_tasks))
+
+        img_feats, img_sel = [], []
+        for images, n in eval_set.image_batches(cfg.batch_size):
+            images = jnp.asarray(images)
+            frozen = self.extract_visual(images)
+            sel = infer_task_ids(frozen, self.visual_keys)
+            img_feats.append(np.asarray(enc_img(self.params, images, sel))[:n])
+            img_sel.append(np.asarray(sel)[:n])
+        txt_feats, txt_sel = [], []
+        for token_ids, n in eval_set.text_batches(cfg.eval_text_chunk):
+            token_ids = jnp.asarray(token_ids)
+            frozen = self.extract_textual(token_ids)
+            sel = infer_task_ids(frozen, self.textual_keys)
+            txt_feats.append(np.asarray(enc_txt(self.params, token_ids, sel))[:n])
+            txt_sel.append(np.asarray(sel)[:n])
+
+        img_feats = np.concatenate(img_feats)
+        txt_feats = np.concatenate(txt_feats)
+        scores_i2t = img_feats @ txt_feats.T
+        res = itm_eval(
+            scores_i2t, scores_i2t.T, eval_set.txt2img, eval_set.img2txt,
+            eval_set.image_categories, eval_set.text_categories, num_tasks)
+        res["task_id_accuracy"] = {
+            "visual": float(np.mean(np.concatenate(img_sel) == eval_set.image_categories)),
+            "textual": float(np.mean(np.concatenate(txt_sel) == eval_set.text_categories)),
+        }
+        return res
+
+    # ------------------------------------------------------------------
+    def run(self, train_sets, eval_sets, epochs: Optional[int] = None) -> dict:
+        """The full continual loop (incremental_train, sprompt.py:150-195)."""
+        for i, train_set in enumerate(train_sets):
+            self.train_session(train_set, epochs=epochs)
+            self.session_results[i] = self.evaluate(eval_sets[i], num_tasks=i + 1)
+        return self.session_results

@@ -1,0 +1,146 @@
+"""Retrieval datasets: session-sliced train sets and cumulative eval sets.
+
+Mirrors the reference's `retrieval/utils/data.py`:
+
+* `Coco` (`data.py:299-384`) — train set for ONE session: images whose
+  annotations fall in the session's category, one caption per sample,
+  hardcoded 12-session category order.
+* `CocoEval` (`data.py:186-251`) — cumulative eval set over sessions
+  0..current: lists of images and texts plus txt2img / img2txt maps and
+  per-item task categories.
+
+The TPU versions produce static-shape numpy batches (host side); images are
+already-decoded float arrays (decoding/augmentation is pluggable — tests and
+benchmarks use synthetic tensors). A COCO-json-backed loader lives in
+`lpi_tpu.data.coco`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Sequence
+
+import numpy as np
+
+# Hardcoded session -> COCO-supercategory order (`retrieval/utils/data.py:327-343`)
+DEFAULT_TASK_ORDER = (11, 6, 3, 10, 5, 12, 7, 9, 2, 8, 4, 1)
+
+
+@dataclass
+class RetrievalTrainSet:
+    """One continual session's training data."""
+
+    images: np.ndarray  # [N, H, W, 3] float32
+    token_ids: np.ndarray  # [N, 77] int32 (prefix-format, ctx slots 1..n_ctx+1)
+    task_index: int
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    def batches(self, batch_size: int, seed: int = 0,
+                drop_remainder: bool = True) -> Iterator[dict]:
+        """Shuffled static-shape batches."""
+        n = len(self)
+        order = np.random.RandomState(seed).permutation(n)
+        end = n - n % batch_size if drop_remainder else n
+        for i in range(0, end, batch_size):
+            idx = order[i : i + batch_size]
+            if len(idx) < batch_size:  # pad final partial batch
+                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            yield {"images": self.images[idx], "token_ids": self.token_ids[idx]}
+
+
+@dataclass
+class RetrievalEvalSet:
+    """Cumulative eval data over sessions 0..current (CocoEval equivalent)."""
+
+    images: np.ndarray  # [Ni, H, W, 3]
+    image_categories: np.ndarray  # [Ni] task index per image
+    texts: List[str]
+    text_token_ids: np.ndarray  # [Nt, 77] prefix-format
+    text_categories: np.ndarray  # [Nt]
+    txt2img: Dict[int, int] = field(default_factory=dict)
+    img2txt: Dict[int, List[int]] = field(default_factory=dict)
+
+    def image_batches(self, batch_size: int) -> Iterator[tuple]:
+        n = self.images.shape[0]
+        for i in range(0, n, batch_size):
+            idx = np.arange(i, min(i + batch_size, n))
+            pad = batch_size - len(idx)
+            sel = np.concatenate([idx, np.full(pad, idx[-1])]) if pad else idx
+            yield self.images[sel], len(idx)
+
+    def text_batches(self, batch_size: int) -> Iterator[tuple]:
+        n = self.text_token_ids.shape[0]
+        for i in range(0, n, batch_size):
+            idx = np.arange(i, min(i + batch_size, n))
+            pad = batch_size - len(idx)
+            sel = np.concatenate([idx, np.full(pad, idx[-1])]) if pad else idx
+            yield self.text_token_ids[sel], len(idx)
+
+
+def synthetic_session(
+    task_index: int,
+    num_samples: int = 32,
+    image_size: int = 32,
+    tokenizer=None,
+    n_ctx: int = 16,
+    seed: int = 0,
+) -> RetrievalTrainSet:
+    """Deterministic synthetic session: images with a task-specific mean
+    shift (so frozen features are clusterable) and structured captions."""
+    rng = np.random.RandomState(seed + 1000 * task_index)
+    images = rng.randn(num_samples, image_size, image_size, 3).astype(np.float32)
+    images += 0.8 * np.sin(task_index + np.arange(3))[None, None, None, :]
+    captions = [
+        f"a photo of object {task_index} variant {i % 7} in scene {i % 3}"
+        for i in range(num_samples)
+    ]
+    if tokenizer is None:
+        from lpi_tpu.data.tokenizer import ClipTokenizer
+
+        tokenizer = ClipTokenizer()
+    ids = tokenizer.tokenize_with_prefix(captions, n_ctx)
+    return RetrievalTrainSet(images=images, token_ids=ids, task_index=task_index)
+
+
+def synthetic_eval(
+    num_tasks: int,
+    samples_per_task: int = 8,
+    captions_per_image: int = 1,
+    image_size: int = 32,
+    tokenizer=None,
+    n_ctx: int = 16,
+    seed: int = 0,
+) -> RetrievalEvalSet:
+    """Cumulative synthetic eval set over tasks 0..num_tasks-1."""
+    if tokenizer is None:
+        from lpi_tpu.data.tokenizer import ClipTokenizer
+
+        tokenizer = ClipTokenizer()
+    images, img_cat, texts, txt_cat = [], [], [], []
+    txt2img, img2txt = {}, {}
+    for t in range(num_tasks):
+        rng = np.random.RandomState(seed + 1000 * t + 500)
+        for i in range(samples_per_task):
+            img = rng.randn(image_size, image_size, 3).astype(np.float32)
+            img += 0.8 * np.sin(t + np.arange(3))[None, None, :]
+            img_idx = len(images)
+            images.append(img)
+            img_cat.append(t)
+            img2txt[img_idx] = []
+            for c in range(captions_per_image):
+                txt_idx = len(texts)
+                texts.append(f"a photo of object {t} variant {(i + c) % 7} in scene {i % 3}")
+                txt_cat.append(t)
+                txt2img[txt_idx] = img_idx
+                img2txt[img_idx].append(txt_idx)
+    return RetrievalEvalSet(
+        images=np.stack(images),
+        image_categories=np.asarray(img_cat),
+        texts=texts,
+        text_token_ids=tokenizer.tokenize_with_prefix(texts, n_ctx),
+        text_categories=np.asarray(txt_cat),
+        txt2img=txt2img,
+        img2txt=img2txt,
+    )
