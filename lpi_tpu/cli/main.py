@@ -1,0 +1,160 @@
+"""CLI: continual retrieval training / evaluation / result post-processing.
+
+Equivalent of the reference's `retrieval/main.py` + `retrieval/trainer.py`:
+
+    python -m lpi_tpu.cli.main train --config cfg.json \
+        --ann-train train.json --ann-val val.json --image-root images/
+    python -m lpi_tpu.cli.main train --synthetic        # no data needed
+    python -m lpi_tpu.cli.main report res/<ts>.json --metric i2t
+
+The trainer seeds everything deterministically (`trainer.py:85-94`), builds
+the device mesh, loads pretrained CLIP weights when provided, runs the
+continual session loop, and writes `res/<timestamp>.json` + per-session
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("lpi_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="run the continual retrieval loop")
+    t.add_argument("--config", default=None, help="nested-json config overrides")
+    t.add_argument("--ann-train", default=None)
+    t.add_argument("--ann-val", default=None)
+    t.add_argument("--image-root", default=None)
+    t.add_argument("--clip-ckpt", default=None, help="OpenAI CLIP .pt to convert")
+    t.add_argument("--task-sim", default=None, help="task_sim_matrix.txt path")
+    t.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
+    t.add_argument("--sessions", type=int, default=None)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--output-dir", default="res")
+    t.add_argument("--checkpoint-dir", default="checkpoints")
+
+    r = sub.add_parser("report", help="aggregate a result json (reshandle)")
+    r.add_argument("result_json")
+    r.add_argument("--metric", default="i2t", choices=["i2t", "t2i"])
+    r.add_argument("--dataset", default="mscoco")
+    r.add_argument("--sessions", type=int, default=12)
+    return p
+
+
+def cmd_train(args) -> str:
+    from lpi_tpu.core.config import load_config
+    from lpi_tpu.core import mesh as mesh_lib
+    from lpi_tpu.core.checkpoint import SessionCheckpointer
+    from lpi_tpu.core.logging import save_results_json, setup_logging
+    from lpi_tpu.continual.learner import RetrievalLearner, _split_params
+    from lpi_tpu.continual.mid import fallback_sim_matrix, load_task_sim_matrix
+
+    if not args.synthetic and not (args.ann_train and args.ann_val and args.image_root):
+        raise SystemExit("need --ann-train/--ann-val/--image-root (or --synthetic)")
+
+    log = setup_logging(args.output_dir)
+    cfg = load_config(args.config)
+    rcfg = cfg.retrieval
+    sessions = args.sessions or rcfg.total_sessions
+
+    mesh = None
+    try:
+        import jax
+
+        if len(jax.devices()) > 1:
+            mesh = mesh_lib.make_mesh(cfg.mesh)
+    except Exception as e:  # pragma: no cover - device discovery is environmental
+        log.warning("mesh setup failed (%s); running single-device", e)
+
+    if args.task_sim:
+        sim = load_task_sim_matrix(args.task_sim, rcfg.total_sessions)
+    else:
+        sim = fallback_sim_matrix(rcfg.total_sessions)
+
+    init_params = None
+    if args.clip_ckpt:
+        from lpi_tpu.models.clip.convert import load_torch_clip
+
+        init_params = {"clip": load_torch_clip(args.clip_ckpt)}
+        log.info("loaded CLIP weights from %s", args.clip_ckpt)
+
+    learner = RetrievalLearner(rcfg, mesh=mesh, task_sim_matrix=sim,
+                               init_params=init_params)
+
+    from lpi_tpu.data.tokenizer import ClipTokenizer
+
+    tok = ClipTokenizer()
+    if args.synthetic:
+        from lpi_tpu.data.retrieval import synthetic_eval, synthetic_session
+
+        size = rcfg.clip.image_resolution
+        train_sets = [
+            synthetic_session(t, max(rcfg.batch_size * 2, 16), size, tok, rcfg.clip.n_ctx)
+            for t in range(sessions)
+        ]
+        eval_sets = {
+            i: synthetic_eval(i + 1, 8, image_size=size, tokenizer=tok, n_ctx=rcfg.clip.n_ctx)
+            for i in range(sessions)
+        }
+    else:
+        from lpi_tpu.data.coco import CocoCaptionTrain, load_coco_eval
+
+        train_sets = [
+            CocoCaptionTrain(args.ann_train, args.image_root, [t], tok, rcfg.clip.n_ctx)
+            for t in range(sessions)
+        ]
+        eval_sets = {
+            i: load_coco_eval(args.ann_val, args.image_root, list(range(i + 1)),
+                              tok, rcfg.clip.n_ctx)
+            for i in range(sessions)
+        }
+
+    ckpt = SessionCheckpointer(args.checkpoint_dir)
+    results = {}
+    for i in range(sessions):
+        log.info("=== session %d/%d (task %d) ===", i + 1, sessions,
+                 train_sets[i].task_index)
+        metrics = learner.train_session(train_sets[i], epochs=args.epochs)
+        log.info("train metrics: %s", metrics)
+        res = learner.evaluate(eval_sets[i], num_tasks=i + 1)
+        log.info("eval r_mean=%.2f task_acc=%s", res["summary"]["r_mean"],
+                 res["task_id_accuracy"])
+        results[i] = {"mscoco": {"i2t": res["i2t"], "t2i": res["t2i"]},
+                      "summary": res["summary"],
+                      "task_id_accuracy": res["task_id_accuracy"]}
+        pools, frozen = _split_params(learner.params)
+        if i == 0:
+            ckpt.save_base(frozen)
+        ckpt.save_session(i, pools, learner.visual_keys, learner.textual_keys,
+                          results[i])
+    path = save_results_json(results, args.output_dir)
+    log.info("results written to %s", path)
+    return path
+
+
+def cmd_report(args) -> dict:
+    from lpi_tpu.eval.reshandle import get_res
+
+    res = get_res(args.result_json, dataset=args.dataset, metric=args.metric,
+                  num_sessions=args.sessions)
+    print(json.dumps(res, indent=2))
+    return res
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        return cmd_train(args)
+    if args.command == "report":
+        return cmd_report(args)
+    raise SystemExit(f"unknown command {args.command}")
+
+
+if __name__ == "__main__":
+    main()
