@@ -1,0 +1,67 @@
+"""Deformable convolution v1/v2 for TPU — bilinear-gather im2col + matmul.
+
+Replaces `csrc/cuda/deform_conv_kernel_cuda.cu` (DeformConv) and the
+modulated DCNv2 path (`ModulatedDeformConv`), which sit on the LPI grounding
+hot path: every DyConv in the VLDyHead tower uses `DFConv2d`
+(`rpn/vldyhead.py:97-234`, `USE_DFCONV: True`; SURVEY §2.4).
+
+Design: offsets [B, H, W, 2*K] shift each of the K = kh*kw taps; features
+are bilinearly sampled at the shifted positions into an im2col tensor
+[B, H, W, K*C], optionally modulated (DCNv2 sigmoid mask), then contracted
+with the kernel on the MXU. Differentiable end-to-end through the gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpi_tpu.ops.bilinear import bilinear_sample
+
+
+def deform_conv2d(
+    features: jnp.ndarray,  # [B, H, W, C]
+    offsets: jnp.ndarray,  # [B, Ho, Wo, 2*K] (dy, dx interleaved per tap)
+    weights: jnp.ndarray,  # [kh, kw, C, Cout]
+    bias: jnp.ndarray | None = None,  # [Cout]
+    mask: jnp.ndarray | None = None,  # [B, Ho, Wo, K] (pre-sigmoid) for DCNv2
+    stride: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Deformable 3x3 (or kh x kw) conv, 'same' padding, NHWC."""
+    B, H, W, C = features.shape
+    kh, kw, _, Cout = weights.shape
+    K = kh * kw
+    Ho = (H + stride - 1) // stride
+    Wo = (W + stride - 1) // stride
+
+    pad_h = (kh - 1) * dilation // 2
+    pad_w = (kw - 1) * dilation // 2
+    base_y = jnp.arange(Ho) * stride
+    base_x = jnp.arange(Wo) * stride
+    ky, kx = np.meshgrid(np.arange(kh), np.arange(kw), indexing="ij")
+    ky = jnp.asarray(ky.reshape(-1) * dilation - pad_h, jnp.float32)  # [K]
+    kx = jnp.asarray(kx.reshape(-1) * dilation - pad_w, jnp.float32)
+
+    # sampling coords [Ho, Wo, K]
+    yy = base_y[:, None, None] + ky[None, None, :]
+    xx = base_x[None, :, None] + kx[None, None, :]
+
+    off = offsets.reshape(B, Ho, Wo, K, 2)
+    sy = yy[None] + off[..., 0]
+    sx = xx[None] + off[..., 1]
+
+    def sample_one(feat, y, x):
+        return bilinear_sample(feat, y, x)  # [Ho, Wo, K, C]
+
+    cols = jax.vmap(sample_one)(features.astype(jnp.float32),
+                                sy.astype(jnp.float32), sx.astype(jnp.float32))
+    if mask is not None:
+        cols = cols * jax.nn.sigmoid(mask.astype(cols.dtype))[..., None]
+    cols = cols.reshape(B, Ho, Wo, K * C)
+    w = weights.transpose(0, 1, 2, 3).reshape(K * C, Cout)
+    out = jnp.einsum("bhwk,ko->bhwo", cols, w.astype(cols.dtype))
+    if bias is not None:
+        out = out + bias
+    return out
