@@ -1,0 +1,91 @@
+"""ATSS inference postprocessing — grounding scores to final boxes.
+
+Equivalent of `maskrcnn_benchmark/modeling/rpn/inference.py:592-760`
+(ATSSPostProcessor) with static shapes throughout:
+
+* dot-product token logits are sigmoided and aggregated into per-class
+  scores via the label->token positive map (MEAN aggregation,
+  `convert_grounding_to_od_logits`);
+* per level: threshold, top-k (padded), decode, x centerness;
+* across levels: concat, class-aware NMS (0.6), keep top `post_nms_top_n`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from lpi_tpu.ops.boxes import decode_boxes
+from lpi_tpu.ops.nms import ml_nms_mask
+
+
+def grounding_scores(dot_logits: jnp.ndarray, label_token_map: jnp.ndarray) -> jnp.ndarray:
+    """sigmoid token probs -> per-class scores by span-mean.
+
+    dot_logits [A, T]; label_token_map [C, T] binary. Empty rows give 0.
+    """
+    probs = jax.nn.sigmoid(dot_logits.astype(jnp.float32))
+    counts = jnp.maximum(label_token_map.sum(-1), 1.0)
+    return probs @ label_token_map.T / counts[None, :]
+
+
+@partial(jax.jit, static_argnames=("level_counts", "pre_nms_top_n",
+                                   "post_nms_top_n", "nms_thresh",
+                                   "pre_nms_thresh"))
+def atss_postprocess(
+    anchors: jnp.ndarray,  # [A, 4]
+    level_counts: tuple,
+    bbox_pred: jnp.ndarray,  # [A, 4] deltas (single image)
+    centerness: jnp.ndarray,  # [A]
+    dot_logits: jnp.ndarray,  # [A, T]
+    label_token_map: jnp.ndarray,  # [C, T]
+    image_size: tuple = None,
+    pre_nms_thresh: float = 0.05,
+    pre_nms_top_n: int = 1000,
+    post_nms_top_n: int = 100,
+    nms_thresh: float = 0.6,
+):
+    """-> dict(boxes [K,4], scores [K], labels [K] (1-based), valid [K])."""
+    C = label_token_map.shape[0]
+    scores_all = grounding_scores(dot_logits, label_token_map)  # [A, C]
+    ctr = jax.nn.sigmoid(centerness.astype(jnp.float32))
+    scores_all = scores_all * ctr[:, None]
+
+    sel_boxes, sel_scores, sel_labels = [], [], []
+    start = 0
+    for n_l in level_counts:
+        k = min(pre_nms_top_n, n_l * C)
+        s = scores_all[start:start + n_l]  # [n_l, C]
+        s = jnp.where(s > pre_nms_thresh * ctr[start:start + n_l, None], s, -jnp.inf)
+        flat = s.reshape(-1)
+        top, idx = jax.lax.top_k(flat, k)
+        loc = idx // C
+        cls = idx % C + 1
+        boxes = decode_boxes(bbox_pred[start:start + n_l][loc],
+                             anchors[start:start + n_l][loc])
+        sel_boxes.append(boxes)
+        sel_scores.append(top)
+        sel_labels.append(cls)
+        start += n_l
+
+    boxes = jnp.concatenate(sel_boxes)
+    scores = jnp.concatenate(sel_scores)
+    labels = jnp.concatenate(sel_labels)
+    if image_size is not None:
+        W, H = image_size
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, W), jnp.clip(boxes[:, 1], 0, H),
+            jnp.clip(boxes[:, 2], 0, W), jnp.clip(boxes[:, 3], 0, H)], axis=-1)
+
+    keep = ml_nms_mask(boxes, scores, labels, nms_thresh)
+    kept_scores = jnp.where(keep, scores, -jnp.inf)
+    top, idx = jax.lax.top_k(kept_scores, min(post_nms_top_n, kept_scores.shape[0]))
+    return {
+        "boxes": boxes[idx],
+        "scores": top,
+        "labels": labels[idx],
+        "valid": jnp.isfinite(top),
+    }
