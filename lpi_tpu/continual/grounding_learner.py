@@ -1,0 +1,231 @@
+"""Continual grounding learner — the 12-task GLIP loop.
+
+TPU-native equivalent of `grounding/tools/finetune.py:58-340` +
+`engine/trainer.py:47-298`: per task a fresh AdamW(lr, wd) with full-update
+clipping and per-epoch cosine annealing over ONLY `prompts[task]` +
+`interact[task]` (`finetune.py:193-234`), ATSS grounding losses x0.8 +
+alignment x0.1 + inter-task x0.1 (`generalized_vl_rcnn.py:400-513`), NaN
+losses zeroed (`engine/trainer.py:134-136`), then KMeans task keys over
+frozen P7 features and evaluation over all seen tasks with task-ID
+inference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+from flax.core import unfreeze
+
+from lpi_tpu.core.config import GroundingConfig
+from lpi_tpu.core import mesh as mesh_lib
+from lpi_tpu.continual.keys import TaskKeys, infer_task_ids
+from lpi_tpu.data.grounding import GroundingTaskSet
+from lpi_tpu.eval.refexp import RefExpEvaluator
+from lpi_tpu.models.glip.atss import atss_losses
+from lpi_tpu.models.glip.grounding import GroundedVLModel, grounding_aux_losses
+from lpi_tpu.models.glip.postprocess import atss_postprocess
+from lpi_tpu.ops.kmeans import kmeans
+
+POOL_KEYS = ("prompts", "interact")
+
+
+def _split_params(params: dict):
+    flat = traverse_util.flatten_dict(unfreeze(params))
+    pools = {k: v for k, v in flat.items() if any(p in "/".join(k) for p in POOL_KEYS)}
+    frozen = {k: v for k, v in flat.items() if k not in pools}
+    return pools, frozen
+
+
+def _merge(pools, frozen):
+    return traverse_util.unflatten_dict({**pools, **frozen})
+
+
+def _epoch_cosine(base_lr, epochs, steps_per_epoch):
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
+    return schedule
+
+
+class GroundingLearner:
+    def __init__(self, cfg: GroundingConfig, mesh=None,
+                 task_sim_matrix: Optional[np.ndarray] = None,
+                 init_params: Optional[dict] = None,
+                 sample_batch: Optional[dict] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model = GroundedVLModel(cfg)
+        if sample_batch is None:
+            raise ValueError("GroundingLearner needs a sample_batch for shape init")
+        key = jax.random.PRNGKey(cfg.seed)
+        variables = self.model.init(
+            key, jnp.asarray(sample_batch["images"]),
+            jnp.asarray(sample_batch["input_ids"]),
+            jnp.asarray(sample_batch["attention_mask"]), 0)
+        params = unfreeze(variables["params"])
+        if init_params is not None:
+            flat = traverse_util.flatten_dict(params)
+            for k, v in traverse_util.flatten_dict(unfreeze(init_params)).items():
+                if k in flat:
+                    flat[k] = jnp.asarray(v)
+            params = traverse_util.unflatten_dict(flat)
+        self.params = params
+        if mesh is not None:
+            self.params = mesh_lib.replicate(mesh, self.params)
+
+        T = cfg.total_tasks
+        sim = np.eye(T, np.float32) if task_sim_matrix is None else np.asarray(task_sim_matrix)
+        self.task_relation = jnp.asarray(
+            (sim > cfg.lpi.task_sim_threshold).astype(np.float32))
+        self.keys: Optional[TaskKeys] = None  # created lazily (dim = P7 flat)
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _losses(self, pools, frozen, batch, task_id: int):
+        cfg = self.cfg
+        params = _merge(pools, frozen)
+        flat, language, vis_p, txt_p = self.model.apply(
+            {"params": params}, batch["images"], batch["input_ids"],
+            batch["attention_mask"], task_id)
+        det = atss_losses(
+            flat["anchors"], tuple(flat["level_counts"]),
+            flat["bbox_pred"], flat["centerness"], flat["dot_logits"],
+            batch["gt_boxes"], batch["gt_valid"], batch["positive_map"],
+            batch["attention_mask"], topk=cfg.atss.topk,
+            reg_loss_weight=cfg.atss.reg_loss_weight)
+        w = cfg.proposal_loss_weight
+        losses = {
+            "loss_reg": w * det["loss_reg"],
+            "loss_centerness": w * det["loss_centerness"],
+            "loss_dot_product_token": w * det["loss_dot_product_token"],
+        }
+        vis_all, txt_all = self.model.apply(
+            {"params": params}, method=self.model.all_task_prompts)
+        losses.update(grounding_aux_losses(
+            vis_p, txt_p, vis_all, txt_all, task_id, self.task_relation, cfg))
+        # NaN-loss zeroing (engine/trainer.py:134-136)
+        losses = {k: jnp.where(jnp.isfinite(v), v, 0.0) for k, v in losses.items()}
+        total = sum(losses.values())
+        return total, {**losses, "num_pos": det["num_pos"]}
+
+    def _make_step(self, task_id: int, steps_per_epoch: int, epochs: int):
+        cfg = self.cfg
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(_epoch_cosine(cfg.lr, epochs, steps_per_epoch),
+                        weight_decay=cfg.weight_decay),
+        )
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(pools, opt_state, frozen, batch):
+            (total, metrics), grads = jax.value_and_grad(
+                self._losses, has_aux=True)(pools, frozen, batch, task_id)
+            onehot = {
+                k: jax.nn.one_hot(task_id, v.shape[0], dtype=v.dtype).reshape(
+                    (v.shape[0],) + (1,) * (v.ndim - 1))
+                for k, v in grads.items()}
+            grads = {k: g * onehot[k] for k, g in grads.items()}
+            updates, opt_state = tx.update(grads, opt_state, pools)
+            updates = {k: u * onehot[k] for k, u in updates.items()}
+            pools = optax.apply_updates(pools, updates)
+            return pools, opt_state, {"total": total, **metrics}
+
+        return tx, step
+
+    def train_task(self, dataset: GroundingTaskSet,
+                   epochs: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        task_id = dataset.task_index
+        epochs = epochs or cfg.epochs_per_task
+        steps_per_epoch = max(len(dataset) // cfg.batch_size, 1)
+        tx, step = self._make_step(task_id, steps_per_epoch, epochs)
+        pools, frozen = _split_params(self.params)
+        opt_state = tx.init(pools)
+        metrics = {}
+        for epoch in range(epochs):
+            for batch in dataset.batches(cfg.batch_size, seed=cfg.seed + epoch):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.mesh is not None:
+                    batch = mesh_lib.shard_batch(self.mesh, batch)
+                pools, opt_state, metrics = step(pools, opt_state, frozen, batch)
+        self.params = _merge(pools, frozen)
+        self.cluster_task(dataset)
+        return {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+    def _jit(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def extract_features(self, images) -> jnp.ndarray:
+        fn = self._jit("extract", lambda p, x: self.model.apply(
+            {"params": p}, x, method=self.model.extract_features))
+        return fn(self.params, jnp.asarray(images))
+
+    def cluster_task(self, dataset: GroundingTaskSet):
+        cfg = self.cfg
+        feats = []
+        for batch in dataset.batches(cfg.batch_size, seed=0, drop_remainder=False):
+            feats.append(self.extract_features(batch["images"]))
+        feats = jnp.concatenate(feats)[: len(dataset)]
+        if self.keys is None:
+            self.keys = TaskKeys.create(cfg.total_tasks, cfg.num_key_clusters,
+                                        feats.shape[-1])
+        centers, _ = kmeans(jax.random.PRNGKey(0), feats, k=cfg.num_key_clusters)
+        self.keys = self.keys.update(dataset.task_index, centers)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, task_sets: Dict[int, GroundingTaskSet],
+                 batch_size: Optional[int] = None) -> dict:
+        """Inference over all seen tasks' eval sets with task-ID selection
+        (`engine/inference.py:392-680`)."""
+        cfg = self.cfg
+        bs = batch_size or cfg.batch_size
+        fwd = self._jit("forward_tasks", lambda p, im, ids, m, t: self.model.apply(
+            {"params": p}, im, ids, m, t, method=self.model.forward_tasks))
+
+        evaluator = RefExpEvaluator()
+        taskid_hits = 0
+        taskid_total = 0
+        for tid, ds in task_sets.items():
+            for batch, real, indices in ds.eval_batches(bs):
+                images = jnp.asarray(batch["images"])
+                frozen_feats = self.extract_features(images)
+                sel = infer_task_ids(frozen_feats, self.keys)
+                taskid_hits += int(np.sum(np.asarray(sel)[:real] == tid))
+                taskid_total += real
+                flat, _ = fwd(self.params, images,
+                              jnp.asarray(batch["input_ids"]),
+                              jnp.asarray(batch["attention_mask"]), sel)
+                anchors = flat["anchors"]
+                counts = tuple(int(c) for c in flat["level_counts"])
+                for b in range(real):
+                    pm = batch["positive_map"][b]  # [G, T]
+                    gv = batch["gt_valid"][b]
+                    label_map = jnp.asarray(pm[:1])  # single referred phrase
+                    out = atss_postprocess(
+                        anchors, counts,
+                        flat["bbox_pred"][b], flat["centerness"][b],
+                        flat["dot_logits"][b], label_map,
+                        pre_nms_top_n=min(cfg.atss.pre_nms_top_n, anchors.shape[0]),
+                        post_nms_top_n=min(cfg.atss.fpn_post_nms_top_n,
+                                           anchors.shape[0]),
+                        nms_thresh=cfg.atss.nms_thresh,
+                        pre_nms_thresh=cfg.atss.inference_thresh)
+                    valid = np.asarray(out["valid"])
+                    evaluator.update(
+                        image_index=indices[b],
+                        boxes=np.asarray(out["boxes"])[valid],
+                        scores=np.asarray(out["scores"])[valid],
+                        gt_box=batch["gt_boxes"][b][np.asarray(gv)][0],
+                        task_index=tid)
+        res = evaluator.summarize(num_tasks=max(task_sets.keys()) + 1)
+        res["task_id_accuracy"] = taskid_hits / max(taskid_total, 1)
+        return res

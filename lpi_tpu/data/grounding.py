@@ -1,0 +1,179 @@
+"""Grounding datasets: mdetr-format RefExp with the 12-supercategory
+continual split, plus synthetic fixtures.
+
+Behavioral equivalent of `maskrcnn_benchmark/data/datasets/modulated_coco.py`
+(`ModulatedDataset`, SURVEY §2.2 G13): each image belongs to the continual
+task given by the COCO supercategory of its FIRST annotation
+(`modulated_coco.py:277,288-302`); targets carry boxes (xyxy) and mdetr
+`tokens_positive` char spans, which become a token-level positive map via
+the tokenizer offsets.
+
+Static-shape batches: images padded to a fixed size, GT boxes padded to
+`max_boxes` with validity masks, text to `max_query_len` tokens.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from lpi_tpu.continual.mid import SUPERCATEGORY_TO_TASK
+from lpi_tpu.data.bert_tokenizer import BertTokenizer, positive_map_from_spans
+
+
+@dataclass
+class GroundingExample:
+    image: np.ndarray  # [H, W, 3] float32 (already sized/normalized)
+    caption: str
+    boxes: np.ndarray  # [G, 4] xyxy in image coords
+    token_spans: List[List[tuple]]  # per box: [(char_beg, char_end), ...]
+    task_index: int
+
+
+@dataclass
+class GroundingTaskSet:
+    """One continual task's examples, batched statically."""
+
+    examples: List[GroundingExample]
+    tokenizer: BertTokenizer
+    max_boxes: int = 20
+    task_index: int = 0
+
+    def __len__(self):
+        return len(self.examples)
+
+    def _pack(self, batch: Sequence[GroundingExample]) -> Dict[str, np.ndarray]:
+        B = len(batch)
+        max_len = self.tokenizer.max_len
+        images = np.stack([e.image for e in batch])
+        ids, mask, offsets = self.tokenizer([e.caption for e in batch])
+        G = self.max_boxes
+        boxes = np.zeros((B, G, 4), np.float32)
+        valid = np.zeros((B, G), bool)
+        pmap = np.zeros((B, G, max_len), np.float32)
+        for i, e in enumerate(batch):
+            g = min(len(e.boxes), G)
+            boxes[i, :g] = e.boxes[:g]
+            valid[i, :g] = True
+            pmap[i, :g] = positive_map_from_spans(
+                e.token_spans[:g], offsets[i], max_len)
+        return {
+            "images": images, "input_ids": ids, "attention_mask": mask,
+            "gt_boxes": boxes, "gt_valid": valid, "positive_map": pmap,
+        }
+
+    def batches(self, batch_size: int, seed: int = 0,
+                drop_remainder: bool = True) -> Iterator[dict]:
+        n = len(self)
+        order = np.random.RandomState(seed).permutation(n)
+        end = n - n % batch_size if drop_remainder else n
+        for i in range(0, end, batch_size):
+            idx = order[i : i + batch_size]
+            if len(idx) < batch_size:
+                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            yield self._pack([self.examples[j] for j in idx])
+
+    def eval_batches(self, batch_size: int) -> Iterator[tuple]:
+        n = len(self)
+        for i in range(0, n, batch_size):
+            idx = list(range(i, min(i + batch_size, n)))
+            real = len(idx)
+            while len(idx) < batch_size:
+                idx.append(idx[-1])
+            yield self._pack([self.examples[j] for j in idx]), real, idx[:real]
+
+
+def load_mdetr_refexp(
+    ann_file: str,
+    image_root: str,
+    task_id: int,
+    tokenizer: Optional[BertTokenizer] = None,
+    image_size: int = 800,
+    max_boxes: int = 20,
+) -> GroundingTaskSet:
+    """Load an mdetr-annotated RefExp COCO json filtered to one task.
+
+    Schema (mdetr final_refexp_val.json style): images carry `caption` and
+    `tokens_negative/positive`; annotations carry xywh `bbox`,
+    `tokens_positive`, and category ids resolvable to supercategories. Task
+    membership = supercategory of the image's FIRST annotation
+    (`modulated_coco.py:288-302`).
+    """
+    from PIL import Image
+
+    with open(ann_file) as f:
+        coco = json.load(f)
+    cats = {c["id"]: c for c in coco.get("categories", [])}
+    anns_by_img: Dict[int, list] = {}
+    for a in coco["annotations"]:
+        anns_by_img.setdefault(a["image_id"], []).append(a)
+
+    examples = []
+    for img in coco["images"]:
+        anns = anns_by_img.get(img["id"])
+        if not anns:
+            continue
+        first_cat = cats.get(anns[0]["category_id"], {})
+        super_name = first_cat.get("supercategory", "")
+        if SUPERCATEGORY_TO_TASK.get(super_name, -1) != task_id:
+            continue
+        path = os.path.join(image_root, img["file_name"])
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            W0, H0 = im.size
+            scale = image_size / max(W0, H0)
+            nw, nh = round(W0 * scale), round(H0 * scale)
+            im = im.resize((nw, nh), Image.BILINEAR)
+            canvas = np.zeros((image_size, image_size, 3), np.float32)
+            canvas[:nh, :nw] = np.asarray(im, np.float32) / 255.0
+        boxes = []
+        spans = []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            boxes.append([x * scale, y * scale, (x + w) * scale, (y + h) * scale])
+            spans.append([tuple(s) for s in a.get("tokens_positive", [])])
+        examples.append(GroundingExample(
+            image=canvas, caption=img.get("caption", ""),
+            boxes=np.asarray(boxes, np.float32), token_spans=spans,
+            task_index=task_id))
+    tok = tokenizer or BertTokenizer()
+    return GroundingTaskSet(examples, tok, max_boxes=max_boxes, task_index=task_id)
+
+
+def synthetic_grounding_task(
+    task_index: int,
+    num_samples: int = 8,
+    image_size: int = 64,
+    tokenizer: Optional[BertTokenizer] = None,
+    max_boxes: int = 4,
+    seed: int = 0,
+) -> GroundingTaskSet:
+    """Synthetic referring-expression set: colored rectangles on noise, with
+    captions naming the object; spans mark the object word."""
+    rng = np.random.RandomState(seed + 997 * task_index)
+    names = ["appliance", "ball", "bench", "phone", "bag", "lamp", "pan",
+             "chair", "car", "pizza", "dog", "person"]
+    name = names[task_index % len(names)]
+    examples = []
+    for i in range(num_samples):
+        img = rng.rand(image_size, image_size, 3).astype(np.float32) * 0.2
+        img += 0.3 * np.sin(task_index + np.arange(3))[None, None, :]
+        w = rng.randint(image_size // 4, image_size // 2)
+        h = rng.randint(image_size // 4, image_size // 2)
+        x = rng.randint(0, image_size - w)
+        y = rng.randint(0, image_size - h)
+        img[y:y + h, x:x + w] += 0.6
+        caption = f"the {name} on the left side"
+        beg = caption.index(name)
+        examples.append(GroundingExample(
+            image=img, caption=caption,
+            boxes=np.asarray([[x, y, x + w, y + h]], np.float32),
+            token_spans=[[(beg, beg + len(name))]],
+            task_index=task_index))
+    tok = tokenizer or BertTokenizer(max_len=16)
+    return GroundingTaskSet(examples, tok, max_boxes=max_boxes,
+                            task_index=task_index)

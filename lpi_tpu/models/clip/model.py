@@ -268,7 +268,7 @@ class CLIP(nn.Module):
             "logit_scale", nn.initializers.constant(c.logit_scale_init), ())
 
     def embed_tokens(self, token_ids: jnp.ndarray) -> jnp.ndarray:
-        return jnp.take(self.token_embedding, token_ids, axis=0)
+        return jnp.take(self.token_embedding, token_ids, axis=0, mode="clip")
 
     def encode_image(self, images, prompt=None, injection_depth: int = 1):
         feats = self.visual(images, prompt, injection_depth)

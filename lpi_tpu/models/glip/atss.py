@@ -128,7 +128,8 @@ def atss_losses(
     noobj = jnp.zeros((T,)).at[-1].set(1.0)
     token_labels = jnp.where(pos[..., None], tok, noobj[None, None, :])
 
-    num_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    num_pos_raw = jnp.sum(pos)
+    num_pos = jnp.maximum(num_pos_raw, 1.0)
     tok_loss = token_sigmoid_focal_loss(dot_logits, token_labels, text_masks)
     loss_dot = jnp.sum(tok_loss) / num_pos
 
@@ -150,5 +151,5 @@ def atss_losses(
         "loss_reg": loss_reg * reg_loss_weight,
         "loss_centerness": loss_ctr,
         "loss_dot_product_token": loss_dot,
-        "num_pos": num_pos,
+        "num_pos": num_pos_raw,
     }

@@ -31,7 +31,9 @@ class BertEmbeddings(nn.Module):
         te = self.param("token_type_embeddings", nn.initializers.normal(0.02),
                         (2, c.hidden_size))
         S = input_ids.shape[1]
-        x = jnp.take(we, input_ids, axis=0) + pe[None, :S] + te[0][None, None]
+        # clip: out-of-range ids must not poison the batch (jnp.take's
+        # default out-of-bounds fill is NaN under jit)
+        x = jnp.take(we, input_ids, axis=0, mode="clip") + pe[None, :S] + te[0][None, None]
         return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
 
 

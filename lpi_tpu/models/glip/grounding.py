@@ -1,0 +1,141 @@
+"""GroundedVLModel — the LPI grounding meta-architecture.
+
+TPU-native equivalent of the reference's modified `GeneralizedVLRCNN`
+(`maskrcnn_benchmark/modeling/detector/generalized_vl_rcnn.py:71-513`):
+frozen GLIP-T(A) (Swin-T + BERT-base via the fused LPI schedule + FPN +
+VLDyHead) with 12-task pools of DecomposedPrompts and InteractModules.
+
+Composition (train path, SURVEY §3.2):
+  prompts[task]  ->  FusedDualEncoder (inject + interact)  ->  FPN P3..P7
+                 ->  tunable_linear on text embeddings
+                 ->  VLDyHead (DyConv tower + dot-product token head)
+                 ->  ATSS losses (x0.8) + 0.1 x alignment + 0.1 x task loss
+
+Grounding-flavor auxiliary losses differ from the retrieval half:
+alignment uses L2-normalized channel-means scaled by 100
+(`generalized_vl_rcnn.py:408-428`) and the inter-task nt_bxent temperature
+is 0.01 (`:505`), vs /0.01 scaling and 0.001 in retrieval.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from lpi_tpu.core.config import GroundingConfig
+from lpi_tpu.losses import clip_loss, nt_bxent_loss
+from lpi_tpu.models.glip.anchors import concat_anchors
+from lpi_tpu.models.glip.fpn import FPN
+from lpi_tpu.models.glip.fused import FusedDualEncoder
+from lpi_tpu.models.glip.vldyhead import TunableLinear, VLDyHead
+from lpi_tpu.prompts.pools import DecomposedPromptPool
+
+
+class GroundedVLModel(nn.Module):
+    cfg: GroundingConfig
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        self.encoder = FusedDualEncoder(
+            swin_cfg=c.swin, bert_cfg=c.bert, lpi_cfg=c.lpi,
+            num_tasks=c.total_tasks, dtype=dtype)
+        self.fpn = FPN(out_channels=c.dyhead.channels, dtype=dtype)
+        self.head = VLDyHead(c.dyhead, lang_dim=c.bert.hidden_size,
+                             num_anchors=1, dtype=dtype)
+        if c.dyhead.add_linear_layer:
+            self.tunable_linear = TunableLinear(dim=c.bert.hidden_size)
+        self.prompts = DecomposedPromptPool(
+            num_tasks=c.total_tasks, layer_num=c.lpi.prompt_depth,
+            prompt_num=c.lpi.prompt_length, visual_dim=c.swin.embed_dim,
+            textual_dim=c.bert.hidden_size, rank=c.lpi.prompt_rank)
+
+    # ------------------------------------------------------------------
+    def _run(self, images, input_ids, attention_mask, vis_p, txt_p, task_id):
+        c = self.cfg
+        language, outs = self.encoder(images, input_ids, attention_mask,
+                                      vis_p, txt_p, task_id,
+                                      num_pooled_layers=c.bert.num_pooled_layers)
+        feats = self.fpn(outs)
+        embedded = language["embedded"]
+        if c.dyhead.add_linear_layer:
+            embedded = self.tunable_linear(embedded)
+        head_out = self.head(feats, embedded, attention_mask)
+        shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
+        anchors_np, counts = concat_anchors(
+            shapes, strides=c.atss.anchor_strides, sizes=c.atss.anchor_sizes,
+            aspect_ratios=c.atss.aspect_ratios)
+        B = images.shape[0]
+        flat = {
+            "bbox_pred": jnp.concatenate(
+                [p.reshape(B, -1, 4) for p in head_out["bbox_pred"]], axis=1),
+            "centerness": jnp.concatenate(
+                [p.reshape(B, -1) for p in head_out["centerness"]], axis=1),
+            "dot_logits": jnp.concatenate(head_out["dot_logits"], axis=1),
+            "anchors": jnp.asarray(anchors_np),
+            "level_counts": counts,
+        }
+        return flat, language
+
+    def __call__(self, images, input_ids, attention_mask, task_id=0):
+        """Train-path forward with the current task's prompts.
+
+        Returns (head outputs dict, language dict, visual_prompt,
+        textual_prompt)."""
+        vis_p, txt_p = self.prompts(task_id)
+        flat, language = self._run(images, input_ids, attention_mask,
+                                   vis_p, txt_p, task_id)
+        return flat, language, vis_p, txt_p
+
+    def forward_tasks(self, images, input_ids, attention_mask, task_ids):
+        """Eval-path forward: per-sample prompts gathered by inferred task
+        ids; the interact module follows the first sample's task
+        (`generalized_vl_rcnn.py:269-278` + `modeling_bert.py:799` behavior)."""
+        vis_all, txt_all = self.prompts.all_prompts()
+        vis_b = jnp.take(vis_all, task_ids, axis=0)
+        txt_b = jnp.take(txt_all, task_ids, axis=0)
+        flat, language = self._run(images, input_ids, attention_mask,
+                                   vis_b, txt_b, task_ids[0])
+        return flat, language
+
+    def extract_features(self, images) -> jnp.ndarray:
+        """Frozen-backbone features for task-key clustering
+        (`generalized_vl_rcnn.py:446-472`): promptless forward, last FPN
+        level (P7) flattened and L2-normalized."""
+        dummy_ids = jnp.zeros((images.shape[0], 4), jnp.int32)
+        dummy_mask = jnp.ones((images.shape[0], 4))
+        _, outs = self.encoder(images, dummy_ids, dummy_mask, None, None, 0)
+        feats = self.fpn(outs)
+        last = feats[-1]
+        flat = last.reshape(last.shape[0], -1).astype(jnp.float32)
+        return flat * jax.lax.rsqrt(jnp.sum(flat * flat, -1, keepdims=True) + 1e-12)
+
+    def all_task_prompts(self):
+        return self.prompts.all_prompts()
+
+
+def grounding_aux_losses(vis_p: jnp.ndarray, txt_p: jnp.ndarray,
+                         vis_all: jnp.ndarray, txt_all: jnp.ndarray,
+                         task_id: int, task_relation: jnp.ndarray,
+                         cfg: GroundingConfig) -> dict:
+    """Alignment + inter-task losses, grounding flavor
+    (`generalized_vl_rcnn.py:400-513`)."""
+    losses = {}
+    lpi = cfg.lpi
+    if lpi.layer_alignment:
+        v = jnp.mean(vis_p.astype(jnp.float32), -1)
+        t = jnp.mean(txt_p.astype(jnp.float32), -1)
+        v = v * jax.lax.rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-12)
+        t = t * jax.lax.rsqrt(jnp.sum(t * t, -1, keepdims=True) + 1e-12)
+        losses["alignment_loss"] = 0.1 * clip_loss(100.0 * v @ t.T)
+    if lpi.task_alignment and task_id >= 1:
+        s = task_id + 1
+        rel = task_relation[:s, :s]
+        losses["task_loss"] = 0.1 * 0.5 * (
+            nt_bxent_loss(vis_all[:s].reshape(s, -1), rel, 0.01)
+            + nt_bxent_loss(txt_all[:s].reshape(s, -1), rel, 0.01))
+    return losses

@@ -200,8 +200,11 @@ class VLDyHead(nn.Module):
         bias0 = self.param("bias0", nn.initializers.constant(bias_value), (1,))
         dot_proj_text = nn.Dense(A * c.channels, name="dot_product_projection_text")
 
-        # normalized text embedding -> per-token projections + bias
-        emb = embedded / jnp.linalg.norm(embedded, axis=-1, keepdims=True).clip(1e-9)
+        # normalized text embedding -> per-token projections + bias.
+        # eps INSIDE the sqrt: padding tokens are exactly zero and
+        # norm(0).clip() has a NaN backward (0 * inf), poisoning training.
+        emb = embedded * jax.lax.rsqrt(
+            jnp.sum(embedded * embedded, axis=-1, keepdims=True) + 1e-12)
         proj_tokens = dot_proj_text(emb / 2.0)  # [B, T, A*C]
         tokens_bias = emb @ bias_lang + bias0  # [B, T]
 

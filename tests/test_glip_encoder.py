@@ -173,6 +173,9 @@ class TestFusedEncoder:
     def test_output_shapes(self, encoder):
         m, variables, (images, ids, mask, vis_p, txt_p) = encoder
         language, outs = m.apply(variables, images, ids, mask, vis_p, txt_p, 0)
+        assert np.isfinite(np.asarray(language["aggregate"])).all()
+        for o in outs:
+            assert np.isfinite(np.asarray(o)).all()
         assert language["aggregate"].shape == (2, 16)
         assert language["embedded"].shape == (2, 20, 16)
         assert language["hidden"].shape == (2, 20, 16)

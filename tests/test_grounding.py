@@ -1,0 +1,161 @@
+"""End-to-end tests for the grounding half (tiny model, synthetic data)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lpi_tpu.core.config import (
+    ATSSConfig,
+    BertConfig,
+    DyHeadConfig,
+    GroundingConfig,
+    LPIPromptConfig,
+    SwinConfig,
+)
+from lpi_tpu.continual.grounding_learner import GroundingLearner, _split_params
+from lpi_tpu.data.bert_tokenizer import BertTokenizer, basic_tokenize, positive_map_from_spans
+from lpi_tpu.data.grounding import synthetic_grounding_task
+
+TINY = GroundingConfig(
+    swin=SwinConfig(patch_size=4, embed_dim=8, depths=(2, 2, 6, 2),
+                    num_heads=(1, 2, 2, 2), window_size=4),
+    bert=BertConfig(vocab_size=512, hidden_size=16, num_layers=12, num_heads=2,
+                    intermediate_size=32, max_position_embeddings=32,
+                    max_query_len=16),
+    dyhead=DyHeadConfig(num_convs=2, channels=16, max_tokens=16),
+    atss=ATSSConfig(anchor_sizes=(8, 16, 32, 64, 128),
+                    anchor_strides=(4, 8, 16, 32, 64),
+                    pre_nms_top_n=50, fpn_post_nms_top_n=10),
+    lpi=LPIPromptConfig(prompt_length=4, prompt_depth=9, prompt_rank=2,
+                        interact_rank=2, interact_depth=9),
+    total_tasks=3, epochs_per_task=1, batch_size=2, max_boxes=4,
+    image_size=64, num_key_clusters=2, dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return BertTokenizer(max_len=16, vocab_size=512)
+
+
+class TestBertTokenizer:
+    def test_basic_tokenize_offsets(self):
+        toks = basic_tokenize("The red car.")
+        assert [t[0] for t in toks] == ["the", "red", "car", "."]
+        assert toks[1][1:] == (4, 7)
+
+    def test_call_shapes_and_mask(self, tokenizer):
+        ids, mask, offsets = tokenizer(["a red car", "the dog"])
+        assert ids.shape == (2, 16) and mask.shape == (2, 16)
+        assert ids[0, 0] == tokenizer.cls_id
+        assert mask[0].sum() == len(offsets[0])
+
+    def test_positive_map_overlap(self, tokenizer):
+        text = "the red car on the road"
+        _, _, offsets = tokenizer([text])
+        beg = text.index("red")
+        pm = positive_map_from_spans([[(beg, beg + 7)]], offsets[0], 16)
+        marked = np.where(pm[0] > 0)[0]
+        assert len(marked) == 2  # 'red' and 'car' tokens
+        assert (marked >= 1).all()  # CLS never marked
+
+    def test_determinism(self, tokenizer):
+        a, _, _ = tokenizer(["hello world"])
+        b, _, _ = tokenizer(["hello world"])
+        np.testing.assert_array_equal(a, b)
+
+
+class TestGroundingData:
+    def test_synthetic_batch_shapes(self, tokenizer):
+        ds = synthetic_grounding_task(0, num_samples=4, image_size=64,
+                                      tokenizer=tokenizer)
+        batch = next(ds.batches(2))
+        assert batch["images"].shape == (2, 64, 64, 3)
+        assert batch["input_ids"].shape == (2, 16)
+        assert batch["gt_boxes"].shape == (2, 4, 4)
+        assert batch["gt_valid"][:, 0].all() and not batch["gt_valid"][:, 1:].any()
+        assert batch["positive_map"].shape == (2, 4, 16)
+        assert batch["positive_map"][:, 0].sum() > 0
+
+
+class TestGroundingLearner:
+    @pytest.fixture(scope="class")
+    def learner(self):
+        tok = BertTokenizer(max_len=16, vocab_size=512)
+        ds = synthetic_grounding_task(0, num_samples=4, image_size=64, tokenizer=tok)
+        sample = next(ds.batches(2))
+        return GroundingLearner(TINY, task_sim_matrix=np.eye(3),
+                                sample_batch=sample), tok
+
+    def test_split_pools(self, learner):
+        l, _ = learner
+        pools, frozen = _split_params(l.params)
+        names = {"/".join(k) for k in pools}
+        assert any("prompts" in n for n in names)
+        assert any("interact" in n for n in names)
+        assert all("swin" not in n and "bert" not in n.lower() or "interact" in n
+                   for n in names)
+
+    def test_train_task_zero(self, learner):
+        l, tok = learner
+        ds = synthetic_grounding_task(0, num_samples=4, image_size=64, tokenizer=tok)
+        metrics = l.train_task(ds, epochs=1)
+        for k in ("loss_reg", "loss_centerness", "loss_dot_product_token",
+                  "alignment_loss", "total"):
+            assert k in metrics and np.isfinite(metrics[k]), (k, metrics)
+        # losses must be real, not NaN-zeroed: tokens fire; reg only when the
+        # last batch had positives
+        assert metrics["loss_dot_product_token"] > 0
+        if metrics["num_pos"] >= 1:
+            assert metrics["loss_reg"] > 0
+        assert "task_loss" not in metrics  # first task
+        assert l.keys is not None and bool(l.keys.valid[0])
+
+    def test_gradients_finite(self, learner):
+        """Regression: padded (all-zero) text tokens once produced NaN
+        backward through norm().clip() in the dot-product head."""
+        import jax as _jax
+
+        l, tok = learner
+        ds = synthetic_grounding_task(0, num_samples=4, image_size=64, tokenizer=tok)
+        from lpi_tpu.continual.grounding_learner import _split_params as sp
+
+        pools, frozen = sp(l.params)
+        batch = {k: jnp.asarray(v) for k, v in next(ds.batches(2)).items()}
+        grads = _jax.grad(lambda p: l._losses(p, frozen, batch, 0)[0])(pools)
+        for k, g in grads.items():
+            assert np.isfinite(np.asarray(g)).all(), "/".join(k)
+
+    def test_train_task_one_has_task_loss(self, learner):
+        l, tok = learner
+        ds = synthetic_grounding_task(1, num_samples=4, image_size=64, tokenizer=tok)
+        metrics = l.train_task(ds, epochs=1)
+        assert "task_loss" in metrics and np.isfinite(metrics["task_loss"])
+
+    def test_only_current_task_slice_moves(self, learner):
+        l, tok = learner
+        pools_before, _ = _split_params(l.params)
+        before = {"/".join(k): np.asarray(v) for k, v in pools_before.items()}
+        ds = synthetic_grounding_task(2, num_samples=4, image_size=64, tokenizer=tok)
+        l.train_task(ds, epochs=1)
+        pools_after, _ = _split_params(l.params)
+        after = {"/".join(k): np.asarray(v) for k, v in pools_after.items()}
+        moved = unchanged = 0
+        for k in before:
+            if before[k].shape[0] == TINY.total_tasks:
+                if not np.allclose(before[k][2], after[k][2]):
+                    moved += 1
+                np.testing.assert_allclose(before[k][0], after[k][0], atol=1e-7)
+                unchanged += 1
+        assert moved > 0 and unchanged > 0
+
+    def test_evaluate(self, learner):
+        l, tok = learner
+        sets = {t: synthetic_grounding_task(t, num_samples=2, image_size=64,
+                                            tokenizer=tok, seed=5)
+                for t in range(2)}
+        res = l.evaluate(sets, batch_size=2)
+        assert set(res["per_task"].keys()) == {0, 1}
+        for t, (p1, p5, p10) in res["per_task"].items():
+            assert 0 <= p1 <= p5 <= p10 <= 100
+        assert 0 <= res["task_id_accuracy"] <= 1
