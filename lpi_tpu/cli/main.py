@@ -39,6 +39,19 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--output-dir", default="res")
     t.add_argument("--checkpoint-dir", default="checkpoints")
 
+    g = sub.add_parser("train-grounding", help="run the continual grounding loop")
+    g.add_argument("--config", default=None)
+    g.add_argument("--ann", default=None, help="mdetr refexp annotation json")
+    g.add_argument("--image-root", default=None)
+    g.add_argument("--glip-ckpt", default=None, help="GLIP-T .pth to convert")
+    g.add_argument("--bert-vocab", default=None)
+    g.add_argument("--task-sim", default=None)
+    g.add_argument("--synthetic", action="store_true")
+    g.add_argument("--tasks", type=int, default=None)
+    g.add_argument("--epochs", type=int, default=None)
+    g.add_argument("--output-dir", default="FINAL_RES")
+    g.add_argument("--checkpoint-dir", default="checkpoints_grounding")
+
     r = sub.add_parser("report", help="aggregate a result json (reshandle)")
     r.add_argument("result_json")
     r.add_argument("--metric", default="i2t", choices=["i2t", "t2i"])
@@ -138,6 +151,81 @@ def cmd_train(args) -> str:
     return path
 
 
+def cmd_train_grounding(args) -> str:
+    """Continual grounding loop (reference `tools/finetune.py:58-340`)."""
+    if not args.synthetic and not (args.ann and args.image_root):
+        raise SystemExit("need --ann/--image-root (or --synthetic)")
+
+    from lpi_tpu.core.config import load_config
+    from lpi_tpu.core.checkpoint import SessionCheckpointer
+    from lpi_tpu.core.logging import save_results_json, setup_logging
+    from lpi_tpu.continual.grounding_learner import GroundingLearner, _split_params
+    from lpi_tpu.continual.mid import fallback_sim_matrix, load_task_sim_matrix
+    from lpi_tpu.data.bert_tokenizer import BertTokenizer
+    from lpi_tpu.data.grounding import load_mdetr_refexp, synthetic_grounding_task
+
+    log = setup_logging(args.output_dir)
+    cfg = load_config(args.config)
+    gcfg = cfg.grounding
+    tasks = args.tasks or gcfg.total_tasks
+
+    tok = BertTokenizer(vocab_path=args.bert_vocab,
+                        max_len=gcfg.bert.max_query_len,
+                        vocab_size=gcfg.bert.vocab_size)
+    if args.synthetic:
+        task_sets = {
+            t: synthetic_grounding_task(t, max(gcfg.batch_size * 2, 8),
+                                        gcfg.image_size, tok, gcfg.max_boxes)
+            for t in range(tasks)
+        }
+    else:
+        task_sets = {
+            t: load_mdetr_refexp(args.ann, args.image_root, t, tok,
+                                 gcfg.image_size, gcfg.max_boxes)
+            for t in range(tasks)
+        }
+
+    sim = (load_task_sim_matrix(args.task_sim, gcfg.total_tasks)
+           if args.task_sim else fallback_sim_matrix(gcfg.total_tasks))
+    sample = next(task_sets[0].batches(gcfg.batch_size, drop_remainder=False))
+
+    init_params = None
+    if args.glip_ckpt:
+        import torch
+
+        from lpi_tpu.models.glip.convert import convert_glip
+
+        sd = torch.load(args.glip_ckpt, map_location="cpu")
+        sd = sd.get("model", sd)
+        flat, unmapped = convert_glip({k: v.numpy() for k, v in sd.items()})
+        log.info("GLIP ckpt: %d leaves converted, %d unmapped", len(flat), len(unmapped))
+        init_params = flat
+
+    learner = GroundingLearner(gcfg, task_sim_matrix=sim, sample_batch=sample)
+    if init_params is not None:
+        from lpi_tpu.models.glip.convert import merge_into_params
+
+        learner.params = merge_into_params(learner.params, init_params,
+                                           strict_shapes=False)
+
+    ckpt = SessionCheckpointer(args.checkpoint_dir)
+    results = {}
+    for tid in range(tasks):
+        log.info("=== grounding task %d/%d ===", tid + 1, tasks)
+        metrics = learner.train_task(task_sets[tid], epochs=args.epochs)
+        log.info("train metrics: %s", metrics)
+        res = learner.evaluate({t: task_sets[t] for t in range(tid + 1)})
+        log.info("eval: %s", res)
+        results[tid] = res
+        pools, frozen = _split_params(learner.params)
+        if tid == 0:
+            ckpt.save_base(frozen)
+        ckpt.save_session(tid, pools, results=res)
+    path = save_results_json(results, args.output_dir, stem="res_grounding")
+    log.info("results written to %s", path)
+    return path
+
+
 def cmd_report(args) -> dict:
     from lpi_tpu.eval.reshandle import get_res
 
@@ -151,6 +239,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.command == "train":
         return cmd_train(args)
+    if args.command == "train-grounding":
+        return cmd_train_grounding(args)
     if args.command == "report":
         return cmd_report(args)
     raise SystemExit(f"unknown command {args.command}")

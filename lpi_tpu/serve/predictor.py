@@ -1,0 +1,208 @@
+"""Grounding inference predictor + visualization (GLIPDemo equivalent).
+
+Host-side wrapper replacing the reference's
+`maskrcnn_benchmark/engine/predictor_glip.py` (GLIPDemo) and the gradio
+webui (`grounding/webui/index.py`):
+
+* `find_noun_phrases` / `run_ner` — entity extraction from the caption into
+  char spans (`predictor_glip.py:129-150`). The reference uses an nltk POS
+  chunker; offline here, a rule-based chunker splits on verbs/prepositions
+  and strips leading articles — same spirit, no model download.
+* `GroundingPredictor.predict(image, caption)` — resize/pad, tokenize, build
+  the positive map, infer the task id from frozen features (KMeans keys),
+  run the prompted forward, postprocess, map boxes back to original
+  coordinates (`compute_prediction`, `predictor_glip.py:264-332`).
+* `draw_predictions` — PIL box/label overlay
+  (`visualize_with_predictions_metric`, `:224`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_STOP_SPLITTERS = {
+    "is", "are", "was", "were", "be", "being", "been", "am",
+    "on", "in", "at", "of", "over", "under", "above", "below", "near",
+    "next", "to", "with", "without", "behind", "beside", "between",
+    "by", "from", "into", "through", "during", "against", "among",
+    "and", "or", "that", "which", "who", "while", "holding", "wearing",
+    "standing", "sitting", "walking", "running", "looking", "chasing",
+    "eating", "playing", "riding", "jumping", "flying", "driving",
+    "carrying", "watching", "hanging", "lying", "leaning",
+}
+_ARTICLES = {"a", "an", "the", "this", "that", "these", "those", "its",
+             "his", "her", "their", "my", "your", "our", "some", "another"}
+
+
+def find_noun_phrases(caption: str) -> List[str]:
+    """Heuristic noun-phrase chunker: split at verbs/prepositions, strip
+    leading articles, keep non-empty chunks."""
+    words = re.findall(r"[a-zA-Z0-9']+", caption.lower())
+    phrases: List[List[str]] = []
+    cur: List[str] = []
+    for w in words:
+        if w in _STOP_SPLITTERS:
+            if cur:
+                phrases.append(cur)
+                cur = []
+        else:
+            cur.append(w)
+    if cur:
+        phrases.append(cur)
+    out = []
+    for p in phrases:
+        while p and p[0] in _ARTICLES:
+            p = p[1:]
+        if p:
+            out.append(" ".join(p))
+    return out
+
+
+def remove_punctuation(text: str) -> str:
+    return re.sub(r"[^\w\s]", "", text).strip()
+
+
+def run_ner(caption: str) -> Tuple[List[List[Tuple[int, int]]], List[str]]:
+    """Entities -> char spans over the caption (all occurrences), exactly the
+    reference's regex scan (`predictor_glip.py:137-150`)."""
+    phrases = [remove_punctuation(p) for p in find_noun_phrases(caption)]
+    phrases = [p for p in phrases if p]
+    tokens_positive = []
+    entities = []
+    for phrase in phrases:
+        spans = [(m.start(), m.end())
+                 for m in re.finditer(re.escape(phrase), caption.lower())]
+        if spans:
+            tokens_positive.append(spans)
+            entities.append(phrase)
+    return tokens_positive, entities
+
+
+class GroundingPredictor:
+    """Inference wrapper around a trained GroundingLearner state."""
+
+    def __init__(self, model, params, keys=None, tokenizer=None,
+                 image_size: int = 800, score_thresh: float = 0.5,
+                 atss_cfg=None):
+        from lpi_tpu.data.bert_tokenizer import BertTokenizer
+
+        self.model = model
+        self.params = params
+        self.keys = keys
+        self.tokenizer = tokenizer or BertTokenizer()
+        self.image_size = image_size
+        self.score_thresh = score_thresh
+        self.atss_cfg = atss_cfg
+        self._fwd = jax.jit(lambda p, im, ids, m, t: model.apply(
+            {"params": p}, im, ids, m, t, method=model.forward_tasks))
+        self._extract = jax.jit(lambda p, im: model.apply(
+            {"params": p}, im, method=model.extract_features))
+
+    def _prepare_image(self, image: np.ndarray):
+        from PIL import Image
+
+        im = Image.fromarray(np.asarray(image, np.uint8)).convert("RGB")
+        W0, H0 = im.size
+        scale = self.image_size / max(W0, H0)
+        nw, nh = round(W0 * scale), round(H0 * scale)
+        im = im.resize((nw, nh), Image.BILINEAR)
+        canvas = np.zeros((self.image_size, self.image_size, 3), np.float32)
+        canvas[:nh, :nw] = np.asarray(im, np.float32) / 255.0
+        return canvas[None], scale
+
+    def predict(self, image: np.ndarray, caption: str,
+                custom_entity: Optional[str] = None) -> dict:
+        """-> dict(boxes [K,4] original coords, scores [K], entities [K])."""
+        from lpi_tpu.data.bert_tokenizer import positive_map_from_spans
+        from lpi_tpu.models.glip.postprocess import atss_postprocess
+
+        canvas, scale = self._prepare_image(image)
+        if custom_entity:
+            spans = [[(m.start(), m.end())
+                      for m in re.finditer(re.escape(custom_entity.lower()),
+                                           caption.lower())]]
+            entities = [custom_entity]
+        else:
+            spans, entities = run_ner(caption)
+        if not spans:
+            return {"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "entities": []}
+
+        ids, mask, offsets = self.tokenizer([caption])
+        label_map = positive_map_from_spans(spans, offsets[0], ids.shape[1])
+
+        images = jnp.asarray(canvas)
+        if self.keys is not None:
+            from lpi_tpu.continual.keys import infer_task_ids
+
+            feats = self._extract(self.params, images)
+            sel = infer_task_ids(feats, self.keys)
+        else:
+            sel = jnp.zeros((1,), jnp.int32)
+
+        flat, _ = self._fwd(self.params, images, jnp.asarray(ids),
+                            jnp.asarray(mask), sel)
+        counts = tuple(int(c) for c in flat["level_counts"])
+        kw = {}
+        if self.atss_cfg is not None:
+            kw = dict(pre_nms_top_n=min(self.atss_cfg.pre_nms_top_n,
+                                        flat["anchors"].shape[0]),
+                      post_nms_top_n=min(self.atss_cfg.fpn_post_nms_top_n,
+                                         flat["anchors"].shape[0]),
+                      nms_thresh=self.atss_cfg.nms_thresh,
+                      pre_nms_thresh=self.atss_cfg.inference_thresh)
+        out = atss_postprocess(
+            flat["anchors"], counts, flat["bbox_pred"][0], flat["centerness"][0],
+            flat["dot_logits"][0], jnp.asarray(label_map),
+            image_size=(self.image_size, self.image_size), **kw)
+        valid = np.asarray(out["valid"]) & (np.asarray(out["scores"]) > self.score_thresh)
+        boxes = np.asarray(out["boxes"])[valid] / scale
+        labels = np.asarray(out["labels"])[valid]
+        return {
+            "boxes": boxes,
+            "scores": np.asarray(out["scores"])[valid],
+            "entities": [entities[l - 1] if 0 < l <= len(entities) else "?"
+                         for l in labels],
+            "task_id": int(np.asarray(sel)[0]),
+        }
+
+
+def draw_predictions(image: np.ndarray, result: dict):
+    """PIL overlay of boxes + entity labels; returns a PIL Image."""
+    from PIL import Image, ImageDraw
+
+    im = Image.fromarray(np.asarray(image, np.uint8)).convert("RGB")
+    draw = ImageDraw.Draw(im)
+    palette = [(255, 64, 64), (64, 200, 64), (64, 128, 255), (255, 200, 0),
+               (200, 64, 255), (0, 200, 200)]
+    for i, (box, score, ent) in enumerate(zip(result["boxes"], result["scores"],
+                                              result["entities"])):
+        color = palette[i % len(palette)]
+        x1, y1, x2, y2 = [float(v) for v in box]
+        draw.rectangle([x1, y1, x2, y2], outline=color, width=3)
+        draw.text((x1 + 2, max(y1 - 12, 0)), f"{ent} {score:.2f}", fill=color)
+    return im
+
+
+def launch_webui(predictor: GroundingPredictor, port: int = 7860):  # pragma: no cover
+    """Gradio UI (reference `webui/index.py`); requires gradio installed."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise RuntimeError("gradio is not installed in this environment") from e
+
+    def infer(caption, image):
+        result = predictor.predict(np.asarray(image), caption)
+        return draw_predictions(np.asarray(image), result)
+
+    demo = gr.Interface(
+        fn=infer,
+        inputs=[gr.Textbox(label="caption"), gr.Image(label="image")],
+        outputs=gr.Image(label="grounded"),
+        title="LPI-TPU grounding demo",
+    )
+    demo.launch(server_port=port)
