@@ -1,0 +1,94 @@
+"""Pallas TPU kernel: fused CP-prompt compose + inject.
+
+The LPI hot pattern composes a rank-r CP prompt and writes it into a token
+window every layer:
+
+    prompt[p, d] = mean_r(d1_l[r] * d2[p, r] * d3[d, r])
+    x[:, off:off+P, :] += prompt
+
+Done naively this materializes `[L, P, D]` prompts in HBM and re-reads them
+per layer. This kernel keeps the factors in VMEM, forms the `[P, D]` prompt
+on the MXU as `(d2 ⊙ d1_l) @ d3ᵀ / r`, and adds it into the token block in
+one pass — one HBM round-trip for x, none for the prompt (BASELINE.json
+north-star: "fused into a single Pallas prompt-generate+inject kernel").
+
+Grid is over the batch; P and D are zero-padded to the (8, 128) fp32 tile.
+Falls back to plain jnp (`compose_inject_reference`) off-TPU; the public
+entry `fused_compose_inject` picks automatically, and `interpret=True` is
+used in CPU tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def compose_inject_reference(x: jnp.ndarray, d1_l: jnp.ndarray,
+                             d2: jnp.ndarray, d3: jnp.ndarray,
+                             offset: int) -> jnp.ndarray:
+    """Plain-XLA reference: x [B,S,D]; d1_l [r]; d2 [P,r]; d3 [D,r]."""
+    r = d1_l.shape[0]
+    prompt = ((d2 * d1_l[None, :]) @ d3.T) / r  # [P, D]
+    P = d2.shape[0]
+    window = x[:, offset:offset + P, :] + prompt[None].astype(x.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(x, window, offset, axis=1)
+
+
+def _kernel(d1_ref, d2_ref, d3_ref, x_ref, out_ref, *, rank: int, P: int,
+            offset: int):
+    # prompt tile on the MXU: [Pp, r] @ [r, Dp]
+    d1 = d1_ref[0]  # [r] stored as [1, r]
+    weighted = d2_ref[:] * d1[None, :]  # [Pp, r]
+    prompt = jnp.dot(weighted, d3_ref[:].T,
+                     preferred_element_type=jnp.float32) / rank  # [Pp, Dp]
+    out_ref[:] = x_ref[:]
+    window = x_ref[0, pl.ds(offset, P), :] + prompt[:P].astype(x_ref.dtype)
+    out_ref[0, pl.ds(offset, P), :] = window
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+@partial(jax.jit, static_argnames=("offset", "interpret"))
+def fused_compose_inject_pallas(x: jnp.ndarray, d1_l: jnp.ndarray,
+                                d2: jnp.ndarray, d3: jnp.ndarray,
+                                offset: int = 0,
+                                interpret: bool = False) -> jnp.ndarray:
+    B, S, D = x.shape
+    P, r = d2.shape
+    Pp = _round_up(P, 8)
+    rp = _round_up(r, 128)
+    d1p = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(d1_l.astype(jnp.float32))
+    d2p = jnp.zeros((Pp, rp), jnp.float32).at[:P, :r].set(d2.astype(jnp.float32))
+    d3p = jnp.zeros((D, rp), jnp.float32).at[:, :r].set(d3.astype(jnp.float32))
+
+    return pl.pallas_call(
+        partial(_kernel, rank=r, P=P, offset=offset),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rp), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, rp), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, rp), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(d1p, d2p, d3p, x)
+
+
+def fused_compose_inject(x: jnp.ndarray, d1_l: jnp.ndarray, d2: jnp.ndarray,
+                         d3: jnp.ndarray, offset: int = 0) -> jnp.ndarray:
+    """Compose the layer prompt from CP factors and add at token offset."""
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon"):
+        return fused_compose_inject_pallas(x, d1_l, d2, d3, offset)
+    return compose_inject_reference(x, d1_l, d2, d3, offset)

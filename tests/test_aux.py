@@ -1,0 +1,98 @@
+"""Tests for auxiliary subsystems: profiling, EMA, early stop, dist helpers,
+and the Pallas prompt kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lpi_tpu.continual.early_stop import EarlyStopper
+from lpi_tpu.core.dist import all_gather_objects, get_world_size, reduce_dict
+from lpi_tpu.core.ema import init_ema, update_ema
+from lpi_tpu.core.profiling import StepTimer, compiled_flops, device_memory_stats
+from lpi_tpu.ops.prompt_kernel import (
+    compose_inject_reference,
+    fused_compose_inject_pallas,
+)
+
+
+class TestPromptKernel:
+    @pytest.mark.parametrize("offset", [0, 1])
+    def test_matches_reference(self, rng, offset):
+        B, S, D, P, r = 2, 24, 128, 8, 4
+        x = jnp.asarray(rng.randn(B, S, D).astype(np.float32))
+        d1 = jnp.asarray(rng.randn(r).astype(np.float32))
+        d2 = jnp.asarray(rng.randn(P, r).astype(np.float32))
+        d3 = jnp.asarray(rng.randn(D, r).astype(np.float32))
+        ref = compose_inject_reference(x, d1, d2, d3, offset)
+        got = fused_compose_inject_pallas(x, d1, d2, d3, offset, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_reference_matches_cp_compose(self, rng):
+        """The reference path itself must equal the DecomposedPrompt math."""
+        from lpi_tpu.prompts.pools import compose_cp
+
+        D, P, r = 16, 4, 2
+        x = jnp.zeros((1, 8, D))
+        d1 = jnp.asarray(rng.randn(r).astype(np.float32))
+        d2 = jnp.asarray(rng.randn(P, r).astype(np.float32))
+        d3 = jnp.asarray(rng.randn(D, r).astype(np.float32))
+        out = compose_inject_reference(x, d1, d2, d3, 1)
+        prompt = compose_cp(d1[None, :], d2, d3)[0]  # [P, D]
+        np.testing.assert_allclose(np.asarray(out[0, 1:5]), np.asarray(prompt),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out[0, 0]), 0)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        t = StepTimer()
+        t.start()
+        x = jnp.ones((8, 8)) * 2
+        dt = t.stop(x)
+        assert dt > 0 and t.mean > 0 and t.p50 > 0
+
+    def test_compiled_flops_matmul(self):
+        a = jnp.ones((64, 64))
+        cost = compiled_flops(lambda x: x @ x, a)
+        assert cost["flops"] >= 2 * 64 ** 3 * 0.5  # XLA counts ~2MNK
+
+    def test_memory_stats_shape(self):
+        stats = device_memory_stats()
+        assert isinstance(stats, dict)
+
+
+class TestEma:
+    def test_decay(self):
+        p = {"w": jnp.ones(3)}
+        ema = init_ema(p)
+        p2 = {"w": jnp.zeros(3)}
+        ema = update_ema(ema, p2, decay=0.9)
+        np.testing.assert_allclose(np.asarray(ema["w"]), 0.9)
+
+
+class TestEarlyStop:
+    def test_stops_after_patience(self):
+        s = EarlyStopper(patience=2, mode="max")
+        assert not s.update(1.0)
+        assert not s.update(0.5)
+        assert s.update(0.4)  # second consecutive non-improvement
+
+    def test_improvement_resets(self):
+        s = EarlyStopper(patience=2, mode="min")
+        s.update(1.0)
+        s.update(2.0)
+        assert not s.update(0.5)  # improvement
+        assert not s.update(0.6)
+        assert s.update(0.7)
+
+    def test_disabled(self):
+        s = EarlyStopper(patience=0)
+        assert not any(s.update(0.0) for _ in range(10))
+
+
+class TestDist:
+    def test_single_process_shortcuts(self):
+        assert get_world_size() == 1
+        assert all_gather_objects({"a": 1}) == [{"a": 1}]
+        assert reduce_dict({"x": 2.0}) == {"x": 2.0}
