@@ -80,7 +80,7 @@ class GroundingLearner:
             self.params = mesh_lib.replicate(mesh, self.params)
 
         T = cfg.total_tasks
-        sim = np.eye(T, np.float32) if task_sim_matrix is None else np.asarray(task_sim_matrix)
+        sim = np.eye(T, dtype=np.float32) if task_sim_matrix is None else np.asarray(task_sim_matrix)
         self.task_relation = jnp.asarray(
             (sim > cfg.lpi.task_sim_threshold).astype(np.float32))
         self.keys: Optional[TaskKeys] = None  # created lazily (dim = P7 flat)

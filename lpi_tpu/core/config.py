@@ -60,6 +60,9 @@ class LPIPromptConfig:
     # injection is dead code in the retrieval half (clip/model.py:190 gate is
     # always false); depth=1 reproduces that input-only behavior.
     injection_depth: int = 1
+    # L2P baseline pool geometry (`slinet.py:42`, L2pPrompt(length=4, top_k=4))
+    l2p_length: int = 4
+    l2p_top_k: int = 4
 
 
 @dataclass(frozen=True)

@@ -155,60 +155,85 @@ def prepare_layer_prompts(prompt: jnp.ndarray, batch: int, layers: int,
 
 
 class VisionTransformer(nn.Module):
-    """ViT tower with prompt-token concat after CLS (`model.py:227-259`)."""
+    """ViT tower with prompt-token concat after CLS (`model.py:227-259`).
+
+    Split into `embed` (patches + CLS + pos) and `encode` (ln_pre -> blocks
+    -> pooled projection) so alternative stem modifications — the L2P
+    prompt-pool replacement (`model.py:232-233`) — can operate between them.
+    """
 
     cfg: CLIPConfig
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, images: jnp.ndarray,
-                 prompt: Optional[jnp.ndarray] = None,
-                 injection_depth: int = 1) -> jnp.ndarray:
-        """images [B, H, W, 3] -> pooled features [B, embed_dim] (unnormalized).
+    def setup(self):
+        c = self.cfg
+        scale = c.vision_width ** -0.5
+        grid = c.image_resolution // c.patch_size
+        self.conv1 = nn.Conv(c.vision_width, (c.patch_size, c.patch_size),
+                             strides=(c.patch_size, c.patch_size), use_bias=False,
+                             dtype=self.dtype, name="conv1")
+        self.class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale), (c.vision_width,))
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(scale),
+            (grid * grid + 1, c.vision_width))
+        self.ln_pre = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")
+        self.tower = nn.scan(
+            PromptedBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.vision_layers,
+            in_axes=0,
+        )(width=c.vision_width, heads=c.vision_heads, causal=False,
+          dtype=self.dtype, name="transformer")
+        self.ln_post = nn.LayerNorm(dtype=jnp.float32, name="ln_post")
+        self.proj = self.param("proj", nn.initializers.normal(scale),
+                               (c.vision_width, c.embed_dim))
 
-        `prompt`: `[Lp, P, Dv]` or `[B, Lp, P, Dv]`; layer-0 slice is
-        concatenated after CLS (no positional embedding added to prompt
-        tokens), deeper slices are added at token slots 1..P+1 when
-        `injection_depth > 1`.
-        """
+    def embed(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images [B, H, W, 3] -> [B, 1+grid^2, width] (CLS + pos applied)."""
         c = self.cfg
         B = images.shape[0]
         grid = c.image_resolution // c.patch_size
-        scale = c.vision_width ** -0.5
-
-        x = nn.Conv(c.vision_width, (c.patch_size, c.patch_size),
-                    strides=(c.patch_size, c.patch_size), use_bias=False,
-                    dtype=self.dtype, name="conv1")(images.astype(self.dtype))
+        x = self.conv1(images.astype(self.dtype))
         x = x.reshape(B, grid * grid, c.vision_width)
-
-        cls = self.param("class_embedding", nn.initializers.normal(scale),
-                         (c.vision_width,))
-        pos = self.param("positional_embedding", nn.initializers.normal(scale),
-                         (grid * grid + 1, c.vision_width))
         x = jnp.concatenate(
-            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, c.vision_width)), x], axis=1)
-        x = x + pos.astype(self.dtype)[None]
+            [jnp.broadcast_to(self.class_embedding.astype(self.dtype),
+                              (B, 1, c.vision_width)), x], axis=1)
+        return x + self.positional_embedding.astype(self.dtype)[None]
 
+    def encode(self, x: jnp.ndarray,
+               prompt: Optional[jnp.ndarray] = None,
+               injection_depth: int = 1) -> jnp.ndarray:
+        """Token stream -> pooled features [B, embed_dim] (unnormalized).
+
+        `prompt`: `[Lp, P, Dv]` or `[B, Lp, P, Dv]`; layer-0 slice is
+        concatenated after CLS (no positional embedding on prompt tokens),
+        deeper slices are added at token slots 1..P+1 when
+        `injection_depth > 1`.
+        """
+        c = self.cfg
+        B = x.shape[0]
         if prompt is not None:
             if prompt.ndim == 3:
                 p0 = jnp.broadcast_to(prompt[0][None], (B,) + prompt.shape[1:])
             else:
                 p0 = prompt[:, 0]
-            # [CLS | prompt | patches] — prompt tokens carry no pos embedding
             x = jnp.concatenate([x[:, :1], p0.astype(self.dtype), x[:, 1:]], axis=1)
             prompts, gates = prepare_layer_prompts(
                 prompt, B, c.vision_layers, injection_depth, self.dtype)
         else:
             prompts, gates = _no_prompts(c.vision_layers, B, c.vision_width, self.dtype)
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
-        x = _scan_tower("transformer", c.vision_width, c.vision_heads,
-                        c.vision_layers, False, self.dtype, x, prompts, gates)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0])
+        x = self.ln_pre(x).astype(self.dtype)
+        x, _ = self.tower(x, (prompts, gates))
+        x = self.ln_post(x[:, 0])
+        return (x.astype(self.dtype) @ self.proj.astype(self.dtype)).astype(jnp.float32)
 
-        proj = self.param("proj", nn.initializers.normal(scale),
-                          (c.vision_width, c.embed_dim))
-        return (x.astype(self.dtype) @ proj.astype(self.dtype)).astype(jnp.float32)
+    def __call__(self, images: jnp.ndarray,
+                 prompt: Optional[jnp.ndarray] = None,
+                 injection_depth: int = 1) -> jnp.ndarray:
+        return self.encode(self.embed(images), prompt, injection_depth)
 
 
 class TextTransformer(nn.Module):

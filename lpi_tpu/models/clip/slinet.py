@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from lpi_tpu.core.config import RetrievalConfig
 from lpi_tpu.models.clip.model import CLIP
-from lpi_tpu.prompts.pools import DecomposedPromptPool, NormalPromptPool
+from lpi_tpu.prompts.pools import DecomposedPromptPool, L2pPrompt, NormalPromptPool
 
 
 class SliNet(nn.Module):
@@ -45,6 +45,17 @@ class SliNet(nn.Module):
                 num_tasks=c.total_sessions, layer_num=1,
                 prompt_num=lpi.prompt_length, visual_dim=c.visual_dim,
                 textual_dim=c.textual_dim)
+        elif lpi.prompt_type == "l2p":
+            # L2P baseline (`slinet.py:41-43`): one shared prompt pool with
+            # key matching, injected by replacing leading patch tokens. The
+            # reference instantiates it at embed_dim=96 (incompatible with
+            # its own ViT width — a broken baseline config); here the pool
+            # lives at the vision width so the path actually runs.
+            self.prompts = L2pPrompt(pool_size=c.total_sessions,
+                                     length=lpi.l2p_length,
+                                     embed_dim=c.visual_dim,
+                                     top_k=lpi.l2p_top_k,
+                                     batchwise_prompt=True)
         else:
             raise ValueError(f"unsupported prompt_type {lpi.prompt_type!r}")
         # CoOp context pool (classifier_pool, slinet.py:51-54). Unused when a
@@ -67,14 +78,32 @@ class SliNet(nn.Module):
 
         Returns (image_features, text_features, visual_prompt,
         textual_prompt, logit_scale); features are L2-normalized, prompts are
-        the composed `[L, P, D]` stacks used by the alignment loss.
+        the composed `[L, P, D]` stacks used by the alignment loss (zeros +
+        aux reduce_sim for the l2p baseline).
         """
+        if self.cfg.lpi.prompt_type == "l2p":
+            img, _ = self.encode_image_l2p(images)
+            ctx = jnp.take(self.ctx_pool, task_id, axis=0)
+            txt = self.clip.encode_text(token_ids, ctx=ctx)
+            zeros_v = jnp.zeros((1, 1, self.cfg.visual_dim))
+            zeros_t = jnp.zeros((1, 1, self.cfg.textual_dim))
+            return img, txt, zeros_v, zeros_t, jnp.exp(self.clip.logit_scale)
         depth = self.cfg.lpi.injection_depth
         vis_p, txt_p = self.prompts(task_id)
         img = self.clip.encode_image(images, vis_p, depth)
         txt = self.clip.encode_text(token_ids, ctx=txt_p[0], prompt=txt_p,
                                     injection_depth=depth)
         return img, txt, vis_p, txt_p, jnp.exp(self.clip.logit_scale)
+
+    def encode_image_l2p(self, images):
+        """L2P path: key-matched pool prompts replace leading patch tokens
+        between the patch stem and the transformer (`model.py:232-233`
+        behavior made dimension-consistent). Returns (features, reduce_sim)."""
+        x = self.clip.visual.embed(images)
+        out = self.prompts(x)
+        feats = self.clip.visual.encode(out["prompted_embedding"])
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats, out["reduce_sim"]
 
     # ---- eval-time per-sample task selection ---------------------------
     def encode_image_tasks(self, images, task_ids):

@@ -32,7 +32,11 @@ from lpi_tpu.models.glip.anchors import concat_anchors
 from lpi_tpu.models.glip.fpn import FPN
 from lpi_tpu.models.glip.fused import FusedDualEncoder
 from lpi_tpu.models.glip.vldyhead import TunableLinear, VLDyHead
-from lpi_tpu.prompts.pools import DecomposedPromptPool
+from lpi_tpu.prompts.pools import (
+    DecomposedPromptPool,
+    MaPLePromptPool,
+    NormalPromptPool,
+)
 
 
 class GroundedVLModel(nn.Module):
@@ -49,10 +53,25 @@ class GroundedVLModel(nn.Module):
                              num_anchors=1, dtype=dtype)
         if c.dyhead.add_linear_layer:
             self.tunable_linear = TunableLinear(dim=c.bert.hidden_size)
-        self.prompts = DecomposedPromptPool(
-            num_tasks=c.total_tasks, layer_num=c.lpi.prompt_depth,
-            prompt_num=c.lpi.prompt_length, visual_dim=c.swin.embed_dim,
-            textual_dim=c.bert.hidden_size, rank=c.lpi.prompt_rank)
+        # prompt-pool flavor (`generalized_vl_rcnn.py:114-142`): PROMPT_LORA
+        # -> DecomposedPrompt; else MaPLe / S-Prompts dense per INTERACT_TYPE
+        if c.lpi.prompt_type in ("lpi", "linear"):
+            self.prompts = DecomposedPromptPool(
+                num_tasks=c.total_tasks, layer_num=c.lpi.prompt_depth,
+                prompt_num=c.lpi.prompt_length, visual_dim=c.swin.embed_dim,
+                textual_dim=c.bert.hidden_size, rank=c.lpi.prompt_rank)
+        elif c.lpi.prompt_type == "maple" or c.lpi.interact_type == "maple":
+            self.prompts = MaPLePromptPool(
+                num_tasks=c.total_tasks, layer_num=c.lpi.prompt_depth,
+                prompt_num=c.lpi.prompt_length, visual_dim=c.swin.embed_dim,
+                textual_dim=c.bert.hidden_size)
+        elif c.lpi.prompt_type == "sprompts":
+            self.prompts = NormalPromptPool(
+                num_tasks=c.total_tasks, layer_num=c.lpi.prompt_depth,
+                prompt_num=c.lpi.prompt_length, visual_dim=c.swin.embed_dim,
+                textual_dim=c.bert.hidden_size)
+        else:
+            raise ValueError(f"unsupported grounding prompt_type {c.lpi.prompt_type!r}")
 
     # ------------------------------------------------------------------
     def _run(self, images, input_ids, attention_mask, vis_p, txt_p, task_id):

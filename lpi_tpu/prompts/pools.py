@@ -123,6 +123,55 @@ class NormalPromptPool(nn.Module):
                 jnp.take(self.textual_prompt, task_ids, axis=0))
 
 
+class MaPLePromptPool(nn.Module):
+    """MaPLe-style coupled prompts, task-indexed.
+
+    Reference `MaPLePrompt` (`generalized_vl_rcnn.py:753-787`): learned
+    textual prompts `[L, P, Dt]` (std 0.02) and per-layer linear projections
+    producing the visual prompts `[L, P, Dv]` from them. In maple mode the
+    fused encoder REPLACES tokens instead of adding (interact_type='maple').
+    """
+
+    num_tasks: int
+    layer_num: int
+    prompt_num: int
+    visual_dim: int
+    textual_dim: int
+
+    def setup(self):
+        T, L, P = self.num_tasks, self.layer_num, self.prompt_num
+        self.textual = self.param("textual", _normal(0.02),
+                                  (T, L, P, self.textual_dim))
+        bound = 1.0 / (self.textual_dim ** 0.5)
+        self.proj_kernel = self.param(
+            "proj_kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (T, L, self.textual_dim, self.visual_dim))
+        self.proj_bias = self.param(
+            "proj_bias",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (T, L, self.visual_dim))
+
+    def _project(self, textual, kernel, bias):
+        # [L,P,Dt] @ [L,Dt,Dv] + [L,1,Dv]
+        return jnp.einsum("lpt,ltv->lpv", textual, kernel) + bias[:, None, :]
+
+    def __call__(self, task_id) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        t = jnp.take(self.textual, task_id, axis=0)
+        k = jnp.take(self.proj_kernel, task_id, axis=0)
+        b = jnp.take(self.proj_bias, task_id, axis=0)
+        return self._project(t, k, b), t
+
+    def all_prompts(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        vis = jnp.einsum("alpt,altv->alpv", self.textual, self.proj_kernel)
+        vis = vis + self.proj_bias[:, :, None, :]
+        return vis, self.textual
+
+    def gather(self, task_ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        vis, txt = self.all_prompts()
+        return jnp.take(vis, task_ids, axis=0), jnp.take(txt, task_ids, axis=0)
+
+
 class L2pPrompt(nn.Module):
     """L2P prompt pool with key matching (`prompts.py:73-193`).
 
@@ -169,20 +218,21 @@ class L2pPrompt(nn.Module):
         key_norm = self._l2_normalize(self.prompt_key, axis=1)  # [S, D]
         feat_norm = self._l2_normalize(feat, axis=1)  # [B, D]
         similarity = feat_norm @ key_norm.T  # [B, S]
-        _, idx = jax.lax.top_k(similarity, self.top_k)  # [B, top_k]
+        top_k = min(self.top_k, self.pool_size)
+        _, idx = jax.lax.top_k(similarity, top_k)  # [B, top_k]
 
         if self.batchwise_prompt:
             counts = jnp.bincount(idx.reshape(-1), length=self.pool_size)
-            _, major = jax.lax.top_k(counts, self.top_k)  # [top_k]
-            idx = jnp.broadcast_to(major[None, :], (x_embed.shape[0], self.top_k))
+            _, major = jax.lax.top_k(counts, top_k)  # [top_k]
+            idx = jnp.broadcast_to(major[None, :], (x_embed.shape[0], top_k))
 
         batched = jnp.take(self.prompt, idx, axis=0)  # [B, top_k, length, D]
-        b = batched.reshape(x_embed.shape[0], self.top_k * self.length, self.embed_dim)
+        b = batched.reshape(x_embed.shape[0], top_k * self.length, self.embed_dim)
 
         selected_key = jnp.take(key_norm, idx, axis=0)  # [B, top_k, D]
         reduce_sim = jnp.sum(selected_key * feat_norm[:, None, :]) / x_embed.shape[0]
 
-        total_len = self.top_k * self.length
+        total_len = top_k * self.length
         prompted = x_embed.at[:, :total_len].set(b.astype(x_embed.dtype))
         return {
             "prompted_embedding": prompted,
