@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--output-dir", default="FINAL_RES")
     g.add_argument("--checkpoint-dir", default="checkpoints_grounding")
 
+    e = sub.add_parser("eval", help="standalone retrieval eval from a checkpoint")
+    e.add_argument("--config", default=None)
+    e.add_argument("--checkpoint-dir", required=True)
+    e.add_argument("--session", type=int, default=None)
+    e.add_argument("--ann-val", default=None)
+    e.add_argument("--image-root", default=None)
+    e.add_argument("--synthetic", action="store_true")
+
     r = sub.add_parser("report", help="aggregate a result json (reshandle)")
     r.add_argument("result_json")
     r.add_argument("--metric", default="i2t", choices=["i2t", "t2i"])
@@ -220,10 +228,48 @@ def cmd_train_grounding(args) -> str:
         pools, frozen = _split_params(learner.params)
         if tid == 0:
             ckpt.save_base(frozen)
-        ckpt.save_session(tid, pools, results=res)
+        ckpt.save_session(tid, pools, visual_keys=learner.keys, results=res)
     path = save_results_json(results, args.output_dir, stem="res_grounding")
     log.info("results written to %s", path)
     return path
+
+
+def cmd_eval(args) -> dict:
+    """Standalone retrieval evaluation from a saved session
+    (`tools/test_net.py` role for the retrieval half)."""
+    if not args.synthetic and not (args.ann_val and args.image_root):
+        raise SystemExit("need --ann-val/--image-root (or --synthetic)")
+
+    from lpi_tpu.core.config import load_config
+    from lpi_tpu.core.checkpoint import SessionCheckpointer
+    from lpi_tpu.core.logging import setup_logging
+    from lpi_tpu.continual.learner import RetrievalLearner
+    from lpi_tpu.data.tokenizer import ClipTokenizer
+
+    log = setup_logging(None)
+    cfg = load_config(args.config)
+    rcfg = cfg.retrieval
+    learner = RetrievalLearner(rcfg)
+    session = learner.restore(SessionCheckpointer(args.checkpoint_dir),
+                              args.session)
+    log.info("restored session %d from %s", session, args.checkpoint_dir)
+
+    tok = ClipTokenizer()
+    if args.synthetic:
+        from lpi_tpu.data.retrieval import synthetic_eval
+
+        ev = synthetic_eval(session + 1, 8, image_size=rcfg.clip.image_resolution,
+                            tokenizer=tok, n_ctx=rcfg.clip.n_ctx)
+    else:
+        from lpi_tpu.data.coco import load_coco_eval
+
+        ev = load_coco_eval(args.ann_val, args.image_root,
+                            list(range(session + 1)), tok, rcfg.clip.n_ctx)
+    res = learner.evaluate(ev, num_tasks=session + 1)
+    print(json.dumps({"session": session, "summary": res["summary"],
+                      "task_id_accuracy": res["task_id_accuracy"]},
+                     indent=2, default=float))
+    return res
 
 
 def cmd_report(args) -> dict:
@@ -241,6 +287,8 @@ def main(argv=None):
         return cmd_train(args)
     if args.command == "train-grounding":
         return cmd_train_grounding(args)
+    if args.command == "eval":
+        return cmd_eval(args)
     if args.command == "report":
         return cmd_report(args)
     raise SystemExit(f"unknown command {args.command}")

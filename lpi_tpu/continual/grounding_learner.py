@@ -182,6 +182,23 @@ class GroundingLearner:
         self.keys = self.keys.update(dataset.task_index, centers)
 
     # ------------------------------------------------------------------
+    def restore(self, checkpointer, session: Optional[int] = None) -> int:
+        """Load frozen base + a task's pools/keys; returns the task index."""
+        session = checkpointer.latest_session() if session is None else session
+        if session is None:
+            raise ValueError("checkpoint directory has no sessions")
+        base = checkpointer.load_base()
+        state = checkpointer.load_session(session)
+        flat = dict(traverse_util.flatten_dict(base))
+        flat.update(traverse_util.flatten_dict(state["pool_params"]))
+        self.params = traverse_util.unflatten_dict(
+            {k: jnp.asarray(v) for k, v in flat.items()})
+        if "visual_keys" in state:
+            self.keys = TaskKeys(
+                centers=jnp.asarray(state["visual_keys"]["centers"]),
+                valid=jnp.asarray(state["visual_keys"]["valid"]))
+        return session
+
     def evaluate(self, task_sets: Dict[int, GroundingTaskSet],
                  batch_size: Optional[int] = None) -> dict:
         """Inference over all seen tasks' eval sets with task-ID selection

@@ -262,6 +262,34 @@ class RetrievalLearner:
         return res
 
     # ------------------------------------------------------------------
+    def restore(self, checkpointer, session: Optional[int] = None) -> int:
+        """Load frozen base + a session's pools/keys from a
+        SessionCheckpointer; returns the restored session index.
+
+        The reference's resume path is commented out (`finetune.py:139-142`);
+        here restore is first-class: eval can run from any saved session.
+        """
+        session = checkpointer.latest_session() if session is None else session
+        if session is None:
+            raise ValueError("checkpoint directory has no sessions")
+        from flax import traverse_util
+
+        base = checkpointer.load_base()
+        state = checkpointer.load_session(session)
+        flat = dict(traverse_util.flatten_dict(base))
+        flat.update(traverse_util.flatten_dict(state["pool_params"]))
+        self.params = traverse_util.unflatten_dict(
+            {k: jnp.asarray(v) for k, v in flat.items()})
+        if "visual_keys" in state:
+            self.visual_keys = TaskKeys(
+                centers=jnp.asarray(state["visual_keys"]["centers"]),
+                valid=jnp.asarray(state["visual_keys"]["valid"]))
+        if "textual_keys" in state:
+            self.textual_keys = TaskKeys(
+                centers=jnp.asarray(state["textual_keys"]["centers"]),
+                valid=jnp.asarray(state["textual_keys"]["valid"]))
+        return session
+
     def run(self, train_sets, eval_sets, epochs: Optional[int] = None) -> dict:
         """The full continual loop (incremental_train, sprompt.py:150-195)."""
         for i, train_set in enumerate(train_sets):

@@ -27,6 +27,16 @@ def _to_host(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+def _as_nested(tree):
+    """Accept flat dicts with tuple keys (the learners' pool split) and
+    convert to nested string-keyed dicts — orbax stringifies keys."""
+    if isinstance(tree, dict) and any(isinstance(k, tuple) for k in tree):
+        from flax import traverse_util
+
+        return traverse_util.unflatten_dict(tree)
+    return tree
+
+
 class SessionCheckpointer:
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)
@@ -36,7 +46,7 @@ class SessionCheckpointer:
     # -- frozen base -----------------------------------------------------
     def save_base(self, frozen_params) -> None:
         path = os.path.join(self.directory, "base")
-        self._ckptr.save(path, _to_host(frozen_params), force=True)
+        self._ckptr.save(path, _to_host(_as_nested(frozen_params)), force=True)
         self._ckptr.wait_until_finished()
 
     def load_base(self) -> Any:
@@ -48,6 +58,7 @@ class SessionCheckpointer:
     # -- per-session state ----------------------------------------------
     def save_session(self, session: int, pool_params, visual_keys=None,
                      textual_keys=None, results: Optional[dict] = None) -> None:
+        pool_params = _as_nested(pool_params)
         state = {"pool_params": _to_host(pool_params)}
         if visual_keys is not None:
             state["visual_keys"] = {

@@ -133,9 +133,7 @@ class TestCheckpoint:
         ck.save_session(0, pools, keys, keys, {"r_mean": 1.0})
         assert ck.latest_session() == 0
         got = ck.load_session(0)
-        np.testing.assert_allclose(got["pool_params"][("prompts", "d1")]
-                                   if ("prompts", "d1") in got["pool_params"]
-                                   else list(got["pool_params"].values())[0], 2.0)
+        np.testing.assert_allclose(got["pool_params"]["prompts"]["d1"], 2.0)
         base = ck.load_base()
         np.testing.assert_allclose(base["clip"]["w"], 1.0)
 
