@@ -187,3 +187,32 @@ class TestCLI:
 
         report = main(["report", res_path, "--metric", "i2t", "--sessions", "2"])
         assert "P@1" in report and np.isfinite(report["P@1"])
+
+
+class TestFlickr:
+    def test_karpathy_loader(self, tmp_path, tokenizer):
+        from PIL import Image
+
+        from lpi_tpu.data.flickr import load_flickr30k_eval
+
+        rng = np.random.RandomState(0)
+        img_dir = tmp_path / "flickr"
+        img_dir.mkdir()
+        entries = []
+        for i in range(3):
+            name = f"f{i}.jpg"
+            Image.fromarray(rng.randint(0, 255, (40, 50, 3), np.uint8)).save(img_dir / name)
+            entries.append({
+                "filename": name,
+                "split": "test" if i < 2 else "train",
+                "sentences": [{"raw": f"caption {i} variant {k}"} for k in range(5)],
+            })
+        ann = tmp_path / "dataset_flickr30k.json"
+        with open(ann, "w") as f:
+            json.dump({"images": entries}, f)
+        ev = load_flickr30k_eval(str(ann), str(img_dir), split="test",
+                                 tokenizer=tokenizer, n_ctx=4, image_size=32)
+        assert ev.images.shape == (2, 32, 32, 3)  # only the test split
+        assert len(ev.texts) == 10
+        assert ev.img2txt[1] == [5, 6, 7, 8, 9]
+        assert ev.txt2img[7] == 1
