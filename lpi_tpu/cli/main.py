@@ -24,6 +24,8 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("lpi_tpu")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a jax platform (e.g. cpu for local smoke runs)")
     sub = p.add_subparsers(dest="command", required=True)
 
     t = sub.add_parser("train", help="run the continual retrieval loop")
@@ -51,6 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--epochs", type=int, default=None)
     g.add_argument("--output-dir", default="FINAL_RES")
     g.add_argument("--checkpoint-dir", default="checkpoints_grounding")
+
+    d = sub.add_parser("predict", help="grounding demo on one image (GLIPDemo)")
+    d.add_argument("image")
+    d.add_argument("caption")
+    d.add_argument("--config", default=None)
+    d.add_argument("--checkpoint-dir", default=None)
+    d.add_argument("--bert-vocab", default=None)
+    d.add_argument("--output", default="prediction.png")
+    d.add_argument("--thresh", type=float, default=0.5)
 
     e = sub.add_parser("eval", help="standalone retrieval eval from a checkpoint")
     e.add_argument("--config", default=None)
@@ -234,6 +245,44 @@ def cmd_train_grounding(args) -> str:
     return path
 
 
+def cmd_predict(args) -> dict:
+    """One-image grounding demo (webui/index.py `retrieval` flow)."""
+    import numpy as np
+    from PIL import Image
+
+    from lpi_tpu.core.config import load_config
+    from lpi_tpu.continual.grounding_learner import GroundingLearner
+    from lpi_tpu.core.checkpoint import SessionCheckpointer
+    from lpi_tpu.data.bert_tokenizer import BertTokenizer
+    from lpi_tpu.data.grounding import synthetic_grounding_task
+    from lpi_tpu.serve.predictor import GroundingPredictor, draw_predictions
+
+    cfg = load_config(args.config)
+    gcfg = cfg.grounding
+    tok = BertTokenizer(vocab_path=args.bert_vocab,
+                        max_len=gcfg.bert.max_query_len,
+                        vocab_size=gcfg.bert.vocab_size)
+    sample = next(synthetic_grounding_task(
+        0, 2, gcfg.image_size, tok, gcfg.max_boxes).batches(1, drop_remainder=False))
+    learner = GroundingLearner(gcfg, sample_batch=sample)
+    if args.checkpoint_dir:
+        learner.restore(SessionCheckpointer(args.checkpoint_dir))
+    predictor = GroundingPredictor(learner.model, learner.params, learner.keys,
+                                   tok, image_size=gcfg.image_size,
+                                   score_thresh=args.thresh, atss_cfg=gcfg.atss)
+    image = np.asarray(Image.open(args.image).convert("RGB"))
+    result = predictor.predict(image, args.caption)
+    draw_predictions(image, result).save(args.output)
+    print(json.dumps({
+        "entities": result["entities"],
+        "scores": [float(s) for s in result["scores"]],
+        "boxes": [[float(v) for v in b] for b in result["boxes"]],
+        "task_id": result.get("task_id", 0),
+        "output": args.output,
+    }, indent=2))
+    return result
+
+
 def cmd_eval(args) -> dict:
     """Standalone retrieval evaluation from a saved session
     (`tools/test_net.py` role for the retrieval half)."""
@@ -283,10 +332,16 @@ def cmd_report(args) -> dict:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.command == "train":
         return cmd_train(args)
     if args.command == "train-grounding":
         return cmd_train_grounding(args)
+    if args.command == "predict":
+        return cmd_predict(args)
     if args.command == "eval":
         return cmd_eval(args)
     if args.command == "report":
