@@ -148,6 +148,8 @@ class DyHeadConfig:
     log_scale: float = 0.0
     prior_prob: float = 0.01
     early_fuse: bool = False  # EARLY_FUSE_ON: False in LPI configs
+    fuse_embed_dim: int = 2048  # FUSE_CONFIG.EMBED_DIM
+    fuse_heads: int = 8
     add_linear_layer: bool = True  # tunable_linear, language_prompt_v4
     max_tokens: int = 256
 

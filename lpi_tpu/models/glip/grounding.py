@@ -50,7 +50,8 @@ class GroundedVLModel(nn.Module):
             num_tasks=c.total_tasks, dtype=dtype)
         self.fpn = FPN(out_channels=c.dyhead.channels, dtype=dtype)
         self.head = VLDyHead(c.dyhead, lang_dim=c.bert.hidden_size,
-                             num_anchors=1, dtype=dtype)
+                             num_anchors=1, dtype=dtype,
+                             bert_cfg=c.bert if c.dyhead.early_fuse else None)
         if c.dyhead.add_linear_layer:
             self.tunable_linear = TunableLinear(dim=c.bert.hidden_size)
         # prompt-pool flavor (`generalized_vl_rcnn.py:114-142`): PROMPT_LORA
@@ -83,7 +84,8 @@ class GroundedVLModel(nn.Module):
         embedded = language["embedded"]
         if c.dyhead.add_linear_layer:
             embedded = self.tunable_linear(embedded)
-        head_out = self.head(feats, embedded, attention_mask)
+        hidden = language["hidden"] if c.dyhead.early_fuse else None
+        head_out = self.head(feats, embedded, attention_mask, hidden)
         shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
         anchors_np, counts = concat_anchors(
             shapes, strides=c.atss.anchor_strides, sizes=c.atss.anchor_sizes,

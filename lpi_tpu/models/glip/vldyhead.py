@@ -161,11 +161,13 @@ class VLDyHead(nn.Module):
     lang_dim: int = 768
     num_anchors: int = 1
     dtype: jnp.dtype = jnp.float32
+    bert_cfg: object = None  # BertConfig for early-fusion language stages
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], embedded: jnp.ndarray,
-                 text_masks: jnp.ndarray):
-        """features: FPN maps NHWC; embedded [B, T, 768]; masks [B, T].
+                 text_masks: jnp.ndarray, hidden: jnp.ndarray = None):
+        """features: FPN maps NHWC; embedded [B, T, 768]; masks [B, T];
+        `hidden` — language hidden states, consumed when early fusion is on.
 
         Returns dict with per-level lists: bbox_pred [B,H,W,A*4], centerness
         [B,H,W,A], dot_logits [B, HWA, T] — plus the (bias-initialized but
@@ -176,6 +178,19 @@ class VLDyHead(nn.Module):
         in_ch = x[0].shape[-1]
         for i in range(c.num_convs):
             first = i == 0
+            if c.early_fuse and hidden is not None:
+                from lpi_tpu.models.glip.vlfuse import VLFuse
+
+                x, hidden = VLFuse(
+                    v_dim=x[0].shape[-1], l_dim=self.lang_dim,
+                    embed_dim=c.fuse_embed_dim, num_heads=c.fuse_heads,
+                    init_values=1.0 / c.num_convs, dtype=self.dtype,
+                    name=f"fuse{i}")(x, hidden, text_masks)
+                if self.bert_cfg is not None:
+                    from lpi_tpu.models.glip.bert import BertLayer
+
+                    hidden = BertLayer(self.bert_cfg, self.dtype,
+                                       name=f"lang{i}")(hidden, text_masks)
             x = DyConv(
                 in_channels=in_ch if first else c.channels,
                 out_channels=c.channels,

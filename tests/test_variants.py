@@ -75,3 +75,50 @@ class TestMlmMasking:
         b = random_word(ids, np.random.RandomState(7), 103, 512)
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_array_equal(a[1], b[1])
+
+
+class TestVLFuse:
+    def test_biattention_shapes_and_mask(self, rng):
+        from lpi_tpu.models.glip.vlfuse import BiAttentionBlock
+
+        m = BiAttentionBlock(v_dim=16, l_dim=16, embed_dim=32, num_heads=4)
+        v = jnp.asarray(rng.randn(2, 20, 16).astype(np.float32))
+        l = jnp.asarray(rng.randn(2, 8, 16).astype(np.float32))
+        mask = np.ones((2, 8), np.float32)
+        mask[0, 5:] = 0
+        variables = m.init(jax.random.PRNGKey(0), v, l, jnp.asarray(mask))
+        vo, lo = m.apply(variables, v, l, jnp.asarray(mask))
+        assert vo.shape == v.shape and lo.shape == l.shape
+        # padded language tokens cannot influence the visual stream
+        l2 = l.at[0, 6].set(50.0)
+        vo2, _ = m.apply(variables, v, l2, jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(vo[0]), np.asarray(vo2[0]), atol=1e-5)
+
+    def test_vlfuse_roundtrip_levels(self, rng):
+        from lpi_tpu.models.glip.vlfuse import VLFuse
+
+        m = VLFuse(v_dim=16, l_dim=16, embed_dim=32, num_heads=4)
+        feats = [jnp.asarray(rng.randn(2, 4, 4, 16).astype(np.float32)),
+                 jnp.asarray(rng.randn(2, 2, 2, 16).astype(np.float32))]
+        hidden = jnp.asarray(rng.randn(2, 8, 16).astype(np.float32))
+        variables = m.init(jax.random.PRNGKey(0), feats, hidden)
+        outs, new_hidden = m.apply(variables, feats, hidden)
+        assert outs[0].shape == (2, 4, 4, 16)
+        assert outs[1].shape == (2, 2, 2, 16)
+        assert new_hidden.shape == hidden.shape
+        assert not np.allclose(np.asarray(outs[0]), np.asarray(feats[0]), atol=1e-5)
+
+    def test_early_fuse_grounding_forward(self, rng):
+        cfg = dataclasses.replace(
+            TINY, dyhead=dataclasses.replace(TINY.dyhead, early_fuse=True,
+                                             fuse_embed_dim=32, fuse_heads=4))
+        m = GroundedVLModel(cfg)
+        images = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        ids = jnp.asarray(rng.randint(1, 500, size=(1, 16)).astype(np.int32))
+        mask = jnp.ones((1, 16))
+        variables = m.init(jax.random.PRNGKey(0), images, ids, mask, 0)
+        flat, *_ = m.apply(variables, images, ids, mask, 0)
+        assert np.isfinite(np.asarray(flat["dot_logits"])).all()
+        # fuse params exist in the tree
+        assert any("fuse0" in "/".join(k) for k in
+                   __import__("flax").traverse_util.flatten_dict(variables["params"]))
