@@ -175,15 +175,23 @@ class RetrievalLearner:
         pools, frozen = _split_params(self.params)
         opt_state = tx.init(pools)
         metrics = {}
+        import time as _time
+
+        t0 = _time.perf_counter()
+        steps = 0
         for epoch in range(epochs):
             for it, batch in enumerate(dataset.batches(cfg.batch_size, seed=cfg.seed + epoch)):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if self.mesh is not None:
                     batch = mesh_lib.shard_batch(self.mesh, batch)
                 pools, opt_state, metrics = step(pools, opt_state, frozen, batch)
+                steps += 1
+        out = {k: float(v) for k, v in metrics.items()}  # fetch = device barrier
+        dt = _time.perf_counter() - t0
+        out["samples_per_sec"] = steps * cfg.batch_size / max(dt, 1e-9)
         self.params = _merge_params(pools, frozen)
         self.cluster_task(dataset)
-        return {k: float(v) for k, v in metrics.items()}
+        return out
 
     # ------------------------------------------------------------------
     def _jit_cached(self, name, fn):

@@ -22,6 +22,7 @@ logger = logging.getLogger("lpi_tpu")
 def setup_logging(output_dir: Optional[str] = None, level=logging.INFO) -> logging.Logger:
     """stdout + optional per-run file logger (`utils/logger.py` equivalent)."""
     logger.setLevel(level)
+    logger.propagate = False  # avoid double lines when root is configured
     if not logger.handlers:
         sh = logging.StreamHandler()
         sh.setFormatter(logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s"))
