@@ -73,3 +73,64 @@ def deform_conv2d(
     if bias is not None:
         out = out + bias
     return out.astype(features.dtype)
+
+
+def deform_conv2d_window(
+    features: jnp.ndarray,  # [B, H, W, C]
+    offsets: jnp.ndarray,  # [B, H, W, 2*K]
+    weights: jnp.ndarray,  # [kh, kw, C, Cout]
+    bias: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
+    max_offset: int = 3,
+) -> jnp.ndarray:
+    """Gather-free deformable conv: offsets bounded to a +-max_offset window.
+
+    Bilinear sampling at fractional offset `o` equals a hat-weighted sum over
+    integer displacements d: sum_d max(0, 1-|o_y-dy|) * max(0, 1-|o_x-dx|) *
+    feat[base+d]. With offsets clamped to [-max_offset, max_offset], every
+    feat[base+d] is a STATIC shift (pad+slice) — dense VPU math instead of
+    XLA dynamic gathers, ~an order of magnitude faster on TPU at DyConv
+    sizes. Exact wherever |offset| <= max_offset and the sample stays inside
+    the map (boundaries use zero padding instead of edge clamping). Trained
+    DCN offsets are typically within a pixel or two; raise `max_offset` if
+    offset stats say otherwise. stride 1, 'same' padding, NHWC.
+    """
+    B, H, W, C = features.shape
+    kh, kw, _, Cout = weights.shape
+    K = kh * kw
+    pad_h = (kh - 1) // 2
+    pad_w = (kw - 1) // 2
+    m = max_offset
+    off = offsets.reshape(B, H, W, K, 2).astype(jnp.float32)
+    off = jnp.clip(off, -m, m)
+    if mask is not None:
+        gate = jax.nn.sigmoid(mask.astype(jnp.float32))
+
+    # zero-pad once by (kernel reach + window)
+    reach_h = pad_h + m + 1
+    reach_w = pad_w + m + 1
+    padded = jnp.pad(features.astype(jnp.float32),
+                     ((0, 0), (reach_h, reach_h), (reach_w, reach_w), (0, 0)))
+    w = weights.reshape(K, C, Cout).astype(jnp.float32)
+
+    out = jnp.zeros((B, H, W, Cout), jnp.float32)
+    for k in range(K):
+        ky, kx = k // kw - pad_h, k % kw - pad_w
+        oy = off[..., k, 0]
+        ox = off[..., k, 1]
+        sampled = jnp.zeros((B, H, W, C), jnp.float32)
+        for dy in range(-m, m + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))
+            for dx in range(-m, m + 2):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+                shift_y = reach_h + ky + dy
+                shift_x = reach_w + kx + dx
+                window = jax.lax.dynamic_slice(
+                    padded, (0, shift_y, shift_x, 0), (B, H, W, C))
+                sampled = sampled + (wy * wx)[..., None] * window
+        if mask is not None:
+            sampled = sampled * gate[..., k, None]
+        out = out + jnp.einsum("bhwc,co->bhwo", sampled, w[k])
+    if bias is not None:
+        out = out + bias
+    return out.astype(features.dtype)
