@@ -199,17 +199,28 @@ class RetrievalLearner:
             self._encode_cache[name] = jax.jit(fn)
         return self._encode_cache[name]
 
+    def _put(self, array):
+        """Device-put with batch sharding over the mesh when divisible —
+        eval encoding then runs data-parallel like training."""
+        array = jnp.asarray(array)
+        if self.mesh is not None:
+            dp = self.mesh.shape[self.mesh.axis_names[0]]
+            if array.shape[0] % dp == 0:
+                return jax.device_put(
+                    array, mesh_lib.data_sharding(self.mesh, array.ndim))
+        return array
+
     def extract_visual(self, images) -> jnp.ndarray:
         fn = self._jit_cached(
             "extract_visual",
             lambda p, x: self.model.apply({"params": p}, x, method=self.model.extract_visual))
-        return fn(self.params, jnp.asarray(images))
+        return fn(self.params, self._put(images))
 
     def extract_textual(self, token_ids) -> jnp.ndarray:
         fn = self._jit_cached(
             "extract_textual",
             lambda p, x: self.model.apply({"params": p}, x, method=self.model.extract_textual))
-        return fn(self.params, jnp.asarray(token_ids))
+        return fn(self.params, self._put(token_ids))
 
     def cluster_task(self, dataset: RetrievalTrainSet):
         """KMeans task keys over the session's frozen features
@@ -244,14 +255,14 @@ class RetrievalLearner:
 
         img_feats, img_sel = [], []
         for images, n in eval_set.image_batches(cfg.batch_size):
-            images = jnp.asarray(images)
+            images = self._put(images)
             frozen = self.extract_visual(images)
             sel = infer_task_ids(frozen, self.visual_keys)
             img_feats.append(np.asarray(enc_img(self.params, images, sel))[:n])
             img_sel.append(np.asarray(sel)[:n])
         txt_feats, txt_sel = [], []
         for token_ids, n in eval_set.text_batches(cfg.eval_text_chunk):
-            token_ids = jnp.asarray(token_ids)
+            token_ids = self._put(token_ids)
             frozen = self.extract_textual(token_ids)
             sel = infer_task_ids(frozen, self.textual_keys)
             txt_feats.append(np.asarray(enc_txt(self.params, token_ids, sel))[:n])
