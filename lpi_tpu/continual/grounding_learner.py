@@ -32,25 +32,15 @@ from lpi_tpu.models.glip.grounding import GroundedVLModel, grounding_aux_losses
 from lpi_tpu.models.glip.postprocess import atss_postprocess
 from lpi_tpu.ops.kmeans import kmeans
 
+from lpi_tpu.continual.common import epoch_cosine as _epoch_cosine
+from lpi_tpu.continual.common import merge_params as _merge
+from lpi_tpu.continual.common import split_params as _common_split
+
 POOL_KEYS = ("prompts", "interact")
 
 
 def _split_params(params: dict):
-    flat = traverse_util.flatten_dict(unfreeze(params))
-    pools = {k: v for k, v in flat.items() if any(p in "/".join(k) for p in POOL_KEYS)}
-    frozen = {k: v for k, v in flat.items() if k not in pools}
-    return pools, frozen
-
-
-def _merge(pools, frozen):
-    return traverse_util.unflatten_dict({**pools, **frozen})
-
-
-def _epoch_cosine(base_lr, epochs, steps_per_epoch):
-    def schedule(step):
-        epoch = step // max(steps_per_epoch, 1)
-        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
-    return schedule
+    return _common_split(params, POOL_KEYS)
 
 
 class GroundingLearner:

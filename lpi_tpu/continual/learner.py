@@ -38,29 +38,16 @@ from lpi_tpu.losses import alignment_loss, clip_loss, task_prompt_loss
 from lpi_tpu.models.clip import SliNet
 from lpi_tpu.ops.kmeans import kmeans
 
+from lpi_tpu.continual.common import epoch_cosine as _epoch_cosine
+from lpi_tpu.continual.common import merge_params as _merge_params
+from lpi_tpu.continual.common import split_params as _common_split
+
 POOL_KEYS = ("prompts", "ctx_pool")
 
 
 def _split_params(params: dict):
     """Partition into (pool_params, frozen_params) by path."""
-    flat = traverse_util.flatten_dict(unfreeze(params))
-    pools = {k: v for k, v in flat.items() if any(p in "/".join(k) for p in POOL_KEYS)}
-    frozen = {k: v for k, v in flat.items() if k not in pools}
-    return pools, frozen
-
-
-def _merge_params(pools: dict, frozen: dict) -> dict:
-    return traverse_util.unflatten_dict({**pools, **frozen})
-
-
-def _epoch_cosine(base_lr: float, epochs: int, steps_per_epoch: int):
-    """torch CosineAnnealingLR stepped per epoch (`sprompt.py:254,324`)."""
-
-    def schedule(step):
-        epoch = step // max(steps_per_epoch, 1)
-        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
-
-    return schedule
+    return _common_split(params, POOL_KEYS)
 
 
 class RetrievalLearner:
