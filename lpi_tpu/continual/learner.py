@@ -240,10 +240,18 @@ class RetrievalLearner:
             lambda p, x, t: self.model.apply(
                 {"params": p}, x, t, method=self.model.encode_text_tasks))
 
+        # prompt_type 'clip' = zero-shot baseline: frozen features, no task
+        # prompts, no task-ID machinery (`sprompt.py:460-483` clip branch)
+        zero_shot = cfg.lpi.prompt_type == "clip"
+
         img_feats, img_sel = [], []
         for images, n in eval_set.image_batches(cfg.batch_size):
             images = self._put(images)
             frozen = self.extract_visual(images)
+            if zero_shot:
+                img_feats.append(np.asarray(frozen)[:n])
+                img_sel.append(np.zeros(n, np.int64))
+                continue
             sel = infer_task_ids(frozen, self.visual_keys)
             img_feats.append(np.asarray(enc_img(self.params, images, sel))[:n])
             img_sel.append(np.asarray(sel)[:n])
@@ -251,6 +259,10 @@ class RetrievalLearner:
         for token_ids, n in eval_set.text_batches(cfg.eval_text_chunk):
             token_ids = self._put(token_ids)
             frozen = self.extract_textual(token_ids)
+            if zero_shot:
+                txt_feats.append(np.asarray(frozen)[:n])
+                txt_sel.append(np.zeros(n, np.int64))
+                continue
             sel = infer_task_ids(frozen, self.textual_keys)
             txt_feats.append(np.asarray(enc_txt(self.params, token_ids, sel))[:n])
             txt_sel.append(np.asarray(sel)[:n])

@@ -45,6 +45,10 @@ class SliNet(nn.Module):
                 num_tasks=c.total_sessions, layer_num=1,
                 prompt_num=lpi.prompt_length, visual_dim=c.visual_dim,
                 textual_dim=c.textual_dim)
+        elif lpi.prompt_type == "clip":
+            # zero-shot CLIP baseline: no prompt pool at all
+            # (`_evaluate_retrieval` clip branch, sprompt.py:460-483)
+            self.prompts = None
         elif lpi.prompt_type == "l2p":
             # L2P baseline (`slinet.py:41-43`): one shared prompt pool with
             # key matching, injected by replacing leading patch tokens. The
@@ -81,6 +85,12 @@ class SliNet(nn.Module):
         the composed `[L, P, D]` stacks used by the alignment loss (zeros +
         aux reduce_sim for the l2p baseline).
         """
+        if self.cfg.lpi.prompt_type == "clip":
+            img = self.clip.encode_image(images)
+            txt = self.clip.encode_text(token_ids)
+            zeros_v = jnp.zeros((1, 1, self.cfg.visual_dim))
+            zeros_t = jnp.zeros((1, 1, self.cfg.textual_dim))
+            return img, txt, zeros_v, zeros_t, jnp.exp(self.clip.logit_scale)
         if self.cfg.lpi.prompt_type == "l2p":
             img, _ = self.encode_image_l2p(images)
             ctx = jnp.take(self.ctx_pool, task_id, axis=0)
