@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--output", default="prediction.png")
     d.add_argument("--thresh", type=float, default=0.5)
 
+    s = sub.add_parser("serve", help="launch the gradio grounding webui")
+    s.add_argument("--config", default=None)
+    s.add_argument("--checkpoint-dir", default=None)
+    s.add_argument("--bert-vocab", default=None)
+    s.add_argument("--port", type=int, default=7860)
+
     e = sub.add_parser("eval", help="standalone retrieval eval from a checkpoint")
     e.add_argument("--config", default=None)
     e.add_argument("--checkpoint-dir", required=True)
@@ -283,6 +289,31 @@ def cmd_predict(args) -> dict:
     return result
 
 
+def cmd_serve(args):
+    """Gradio webui (reference `webui/index.py`); needs gradio installed."""
+    from lpi_tpu.core.config import load_config
+    from lpi_tpu.continual.grounding_learner import GroundingLearner
+    from lpi_tpu.core.checkpoint import SessionCheckpointer
+    from lpi_tpu.data.bert_tokenizer import BertTokenizer
+    from lpi_tpu.data.grounding import synthetic_grounding_task
+    from lpi_tpu.serve.predictor import GroundingPredictor, launch_webui
+
+    cfg = load_config(args.config)
+    gcfg = cfg.grounding
+    tok = BertTokenizer(vocab_path=args.bert_vocab,
+                        max_len=gcfg.bert.max_query_len,
+                        vocab_size=gcfg.bert.vocab_size)
+    sample = next(synthetic_grounding_task(
+        0, 2, gcfg.image_size, tok, gcfg.max_boxes).batches(1, drop_remainder=False))
+    learner = GroundingLearner(gcfg, sample_batch=sample)
+    if args.checkpoint_dir:
+        learner.restore(SessionCheckpointer(args.checkpoint_dir))
+    predictor = GroundingPredictor(learner.model, learner.params, learner.keys,
+                                   tok, image_size=gcfg.image_size,
+                                   atss_cfg=gcfg.atss)
+    launch_webui(predictor, port=args.port)
+
+
 def cmd_eval(args) -> dict:
     """Standalone retrieval evaluation from a saved session
     (`tools/test_net.py` role for the retrieval half)."""
@@ -342,6 +373,8 @@ def main(argv=None):
         return cmd_train_grounding(args)
     if args.command == "predict":
         return cmd_predict(args)
+    if args.command == "serve":
+        return cmd_serve(args)
     if args.command == "eval":
         return cmd_eval(args)
     if args.command == "report":
