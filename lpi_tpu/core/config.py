@@ -145,6 +145,11 @@ class DyHeadConfig:
     use_dyrelu: bool = True
     use_dyfuse: bool = True
     use_dfconv: bool = True
+    # deformable-conv implementation: "fast" = matmul-first windowed
+    # (gather-free, offsets clamped to +-deform_window px — exact for
+    # trained GLIP offsets), "exact" = bilinear-gather reference semantics
+    deform_impl: str = "fast"
+    deform_window: int = 3
     log_scale: float = 0.0
     prior_prob: float = 0.01
     early_fuse: bool = False  # EARLY_FUSE_ON: False in LPI configs
@@ -191,7 +196,11 @@ class GroundingConfig:
     seed: int = 0
     num_key_clusters: int = 5
     proposal_loss_weight: float = 0.8  # generalized_vl_rcnn.py:400-433
-    image_size: int = 800  # static padded size (replaces dynamic ÷32 padding)
+    # the reference's ACTUAL train/eval resolution: build_transforms
+    # hardcodes Resize(448, 448, restrict=True) (`data/transforms/build.py:
+    # 36-41`), overriding the yaml's 800/1333 (see data/transforms.py)
+    image_size: int = 448
+    fused_scan_unroll: int = 1  # see FusedDualEncoder.scan_unroll
     max_boxes: int = 100  # static padding of per-image GT boxes
     dtype: str = "bfloat16"
 

@@ -4,8 +4,13 @@ Maps a maskrcnn_benchmark GLIP state dict (as loaded by
 `DetectronCheckpointer._load_file/_load_model`, `utils/checkpoint.py:59-170`,
 incl. the `module.` DDP prefix) into `GroundedVLModel`'s Flax layout:
 
-* `backbone.body.*`           -> encoder/swin/* (HWIO conv transposes)
-* `language_backbone.body.model.*` -> encoder/embeddings + encoder/layer{i}
+* `backbone.body.*`           -> encoder/swin/* (patch embed, downsamples,
+                                 out-norms; HWIO conv transposes) and
+                                 encoder/stage{s}/vblock{j}/* (block weights
+                                 stacked over the scanned pair axis)
+* `language_backbone.body.model.*` -> encoder/embeddings +
+                                 encoder/stage{s}/tlayer{j}/* (stacked over
+                                 pairs, interleaved with Swin stages)
 * `backbone.fpn.*`            -> fpn/* (GN conv pairs, p6/p7)
 * `rpn.head.dyhead_tower.*`   -> head/tower{i} (DyConv triplet: torch list
                                  index 0=conv_up, 1=conv_same, 2=conv_down)
@@ -54,39 +59,45 @@ def convert_glip(sd: Mapping[str, np.ndarray],
         out[tuple(path.split("/"))] = value
 
     # ---- Swin body -----------------------------------------------------
+    # Block weights go to the fused encoder's scanned pair stacks:
+    # `encoder/stage{s}/vblock{j}/...` with a leading [n_pairs] axis
+    # (block b of stage s = pair b//2, sub-block j = b%2).
     B = "backbone.body."
     if B + "patch_embed.proj.weight" in sd:
         put("encoder/swin/patch_proj/kernel", _conv(take(B + "patch_embed.proj.weight")))
         put("encoder/swin/patch_proj/bias", _f32(take(B + "patch_embed.proj.bias")))
         put("encoder/swin/patch_norm/scale", _f32(take(B + "patch_embed.norm.weight")))
         put("encoder/swin/patch_norm/bias", _f32(take(B + "patch_embed.norm.bias")))
+    pend_swin: Dict[tuple, Dict[int, np.ndarray]] = {}  # (s, j, suffix) -> {pair: arr}
     for key in list(sd):
         m = re.match(rf"{re.escape(B)}layers\.(\d+)\.blocks\.(\d+)\.(.+)", key)
         if not m:
             continue
         s, b, rest = int(m.group(1)), int(m.group(2)), m.group(3)
-        base = f"encoder/swin/stage{s}_block{b}"
         table = {
-            "norm1.weight": (f"{base}/norm1/scale", _f32),
-            "norm1.bias": (f"{base}/norm1/bias", _f32),
-            "norm2.weight": (f"{base}/norm2/scale", _f32),
-            "norm2.bias": (f"{base}/norm2/bias", _f32),
+            "norm1.weight": ("norm1/scale", _f32),
+            "norm1.bias": ("norm1/bias", _f32),
+            "norm2.weight": ("norm2/scale", _f32),
+            "norm2.bias": ("norm2/bias", _f32),
             "attn.relative_position_bias_table":
-                (f"{base}/attn/relative_position_bias_table", _f32),
-            "attn.qkv.weight": (f"{base}/attn/qkv/kernel", _lin),
-            "attn.qkv.bias": (f"{base}/attn/qkv/bias", _f32),
-            "attn.proj.weight": (f"{base}/attn/proj/kernel", _lin),
-            "attn.proj.bias": (f"{base}/attn/proj/bias", _f32),
-            "mlp.fc1.weight": (f"{base}/mlp/fc1/kernel", _lin),
-            "mlp.fc1.bias": (f"{base}/mlp/fc1/bias", _f32),
-            "mlp.fc2.weight": (f"{base}/mlp/fc2/kernel", _lin),
-            "mlp.fc2.bias": (f"{base}/mlp/fc2/bias", _f32),
+                ("attn/relative_position_bias_table", _f32),
+            "attn.qkv.weight": ("attn/qkv/kernel", _lin),
+            "attn.qkv.bias": ("attn/qkv/bias", _f32),
+            "attn.proj.weight": ("attn/proj/kernel", _lin),
+            "attn.proj.bias": ("attn/proj/bias", _f32),
+            "mlp.fc1.weight": ("mlp/fc1/kernel", _lin),
+            "mlp.fc1.bias": ("mlp/fc1/bias", _f32),
+            "mlp.fc2.weight": ("mlp/fc2/kernel", _lin),
+            "mlp.fc2.bias": ("mlp/fc2/bias", _f32),
         }
         if rest in table:
-            path, fn = table[rest]
-            put(path, fn(take(key)))
+            suffix, fn = table[rest]
+            pend_swin.setdefault((s, b % 2, suffix), {})[b // 2] = fn(take(key))
         elif rest == "attn.relative_position_index":
             used.add(key)  # recomputed at trace time
+    for (s, j, suffix), pairs in pend_swin.items():
+        stacked = np.stack([pairs[p] for p in range(max(pairs) + 1)])
+        put(f"encoder/stage{s}/vblock{j}/{suffix}", stacked)
     for key in list(sd):
         m = re.match(rf"{re.escape(B)}layers\.(\d+)\.downsample\.(.+)", key)
         if m:
@@ -115,33 +126,57 @@ def convert_glip(sd: Mapping[str, np.ndarray],
     for src, dst in emb_map.items():
         if L + src in sd:
             put(dst, _f32(take(L + src)))
+    # BERT layers interleave with Swin in the fused schedule: global layer i
+    # belongs to the stage covering i under the cumulative Swin depths, at
+    # `encoder/stage{s}/tlayer{i%2}` stacked over that stage's pairs.
+    depths = []
+    for s in range(16):
+        blocks = {int(m.group(1)) for k in sd
+                  if (m := re.match(rf"{re.escape(B)}layers\.{s}\.blocks\.(\d+)\.norm1\.weight", k))}
+        if not blocks:
+            break
+        depths.append(max(blocks) + 1)
+    offsets = np.cumsum([0] + depths)
+
+    def bert_slot(i: int):
+        """global layer index -> (stage, pair, sub) under the fused layout."""
+        for s in range(len(depths)):
+            if i < offsets[s + 1]:
+                local = i - offsets[s]
+                return s, local // 2, local % 2
+        return None  # checkpoint has more BERT layers than Swin blocks
+
+    pend_bert: Dict[tuple, Dict[int, np.ndarray]] = {}  # (s, j, suffix) -> {pair: arr}
+    bert_table = {
+        "attention.self.query.weight": ("attention/query/kernel", _lin),
+        "attention.self.query.bias": ("attention/query/bias", _f32),
+        "attention.self.key.weight": ("attention/key/kernel", _lin),
+        "attention.self.key.bias": ("attention/key/bias", _f32),
+        "attention.self.value.weight": ("attention/value/kernel", _lin),
+        "attention.self.value.bias": ("attention/value/bias", _f32),
+        "attention.output.dense.weight": ("attention_output/kernel", _lin),
+        "attention.output.dense.bias": ("attention_output/bias", _f32),
+        "attention.output.LayerNorm.weight": ("attention_norm/scale", _f32),
+        "attention.output.LayerNorm.bias": ("attention_norm/bias", _f32),
+        "intermediate.dense.weight": ("intermediate/kernel", _lin),
+        "intermediate.dense.bias": ("intermediate/bias", _f32),
+        "output.dense.weight": ("output/kernel", _lin),
+        "output.dense.bias": ("output/bias", _f32),
+        "output.LayerNorm.weight": ("output_norm/scale", _f32),
+        "output.LayerNorm.bias": ("output_norm/bias", _f32),
+    }
     for key in list(sd):
         m = re.match(rf"{re.escape(L)}encoder\.layer\.(\d+)\.(.+)", key)
         if not m:
             continue
         i, rest = int(m.group(1)), m.group(2)
-        base = f"encoder/layer{i}"
-        table = {
-            "attention.self.query.weight": (f"{base}/attention/query/kernel", _lin),
-            "attention.self.query.bias": (f"{base}/attention/query/bias", _f32),
-            "attention.self.key.weight": (f"{base}/attention/key/kernel", _lin),
-            "attention.self.key.bias": (f"{base}/attention/key/bias", _f32),
-            "attention.self.value.weight": (f"{base}/attention/value/kernel", _lin),
-            "attention.self.value.bias": (f"{base}/attention/value/bias", _f32),
-            "attention.output.dense.weight": (f"{base}/attention_output/kernel", _lin),
-            "attention.output.dense.bias": (f"{base}/attention_output/bias", _f32),
-            "attention.output.LayerNorm.weight": (f"{base}/attention_norm/scale", _f32),
-            "attention.output.LayerNorm.bias": (f"{base}/attention_norm/bias", _f32),
-            "intermediate.dense.weight": (f"{base}/intermediate/kernel", _lin),
-            "intermediate.dense.bias": (f"{base}/intermediate/bias", _f32),
-            "output.dense.weight": (f"{base}/output/kernel", _lin),
-            "output.dense.bias": (f"{base}/output/bias", _f32),
-            "output.LayerNorm.weight": (f"{base}/output_norm/scale", _f32),
-            "output.LayerNorm.bias": (f"{base}/output_norm/bias", _f32),
-        }
-        if rest in table:
-            path, fn = table[rest]
-            put(path, fn(take(key)))
+        if rest in bert_table and (slot := bert_slot(i)) is not None:
+            s, p, j = slot
+            suffix, fn = bert_table[rest]
+            pend_bert.setdefault((s, j, suffix), {})[p] = fn(take(key))
+    for (s, j, suffix), pairs in pend_bert.items():
+        stacked = np.stack([pairs[p] for p in range(max(pairs) + 1)])
+        put(f"encoder/stage{s}/tlayer{j}/{suffix}", stacked)
 
     # ---- FPN -----------------------------------------------------------
     F = "backbone.fpn."

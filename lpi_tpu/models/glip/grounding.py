@@ -47,7 +47,8 @@ class GroundedVLModel(nn.Module):
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         self.encoder = FusedDualEncoder(
             swin_cfg=c.swin, bert_cfg=c.bert, lpi_cfg=c.lpi,
-            num_tasks=c.total_tasks, dtype=dtype)
+            num_tasks=c.total_tasks, dtype=dtype,
+            scan_unroll=c.fused_scan_unroll)
         self.fpn = FPN(out_channels=c.dyhead.channels, dtype=dtype)
         self.head = VLDyHead(c.dyhead, lang_dim=c.bert.hidden_size,
                              num_anchors=1, dtype=dtype,

@@ -195,6 +195,9 @@ class SwinTransformer(nn.Module):
     window_size: int = 7
     mlp_ratio: float = 4.0
     out_stages: Sequence[int] = (2, 3, 4)  # 'stage{i+2}' naming like GLIP
+    with_blocks: bool = True  # False: embed/downsample/norms only (the
+    #                            fused encoder owns the blocks in its
+    #                            scanned pair stacks)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -217,7 +220,7 @@ class SwinTransformer(nn.Module):
                           mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                           name=f"stage{s}_block{b}")
                 for b in range(depth)
-            ]
+            ] if self.with_blocks else []
             blocks.append(stage_blocks)
             if s < len(self.depths) - 1:
                 downsamples.append(PatchMerging(dim, self.dtype, name=f"downsample{s}"))
