@@ -23,11 +23,12 @@ import numpy as np
 
 from lpi_tpu.continual.mid import SUPERCATEGORY_TO_TASK
 from lpi_tpu.data.bert_tokenizer import BertTokenizer, positive_map_from_spans
+from lpi_tpu.data.transforms import AugmentConfig, eval_transform, train_transform
 
 
 @dataclass
 class GroundingExample:
-    image: np.ndarray  # [H, W, 3] float32 (already sized/normalized)
+    image: np.ndarray  # [H, W, 3] float32 RGB in [0, 1]
     caption: str
     boxes: np.ndarray  # [G, 4] xyxy in image coords
     token_spans: List[List[tuple]]  # per box: [(char_beg, char_end), ...]
@@ -36,46 +37,64 @@ class GroundingExample:
 
 @dataclass
 class GroundingTaskSet:
-    """One continual task's examples, batched statically."""
+    """One continual task's examples, batched statically.
+
+    With `augment` set, `batches()` applies the reference train pipeline
+    (restrict-resize / multi-scale bucketing, hflip with box transform,
+    optional jitter, bgr255 normalize — `data/transforms/build.py:36-49`)
+    per epoch, and `eval_batches()` the deterministic eval pipeline.
+    Without it, images pass through exactly as stored (synthetic fixtures)."""
 
     examples: List[GroundingExample]
     tokenizer: BertTokenizer
     max_boxes: int = 20
     task_index: int = 0
+    augment: Optional[AugmentConfig] = None
 
     def __len__(self):
         return len(self.examples)
 
-    def _pack(self, batch: Sequence[GroundingExample]) -> Dict[str, np.ndarray]:
+    def _pack(self, batch: Sequence[GroundingExample],
+              rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
         B = len(batch)
         max_len = self.tokenizer.max_len
-        images = np.stack([e.image for e in batch])
         ids, mask, offsets = self.tokenizer([e.caption for e in batch])
         G = self.max_boxes
+        images = []
         boxes = np.zeros((B, G, 4), np.float32)
         valid = np.zeros((B, G), bool)
         pmap = np.zeros((B, G, max_len), np.float32)
         for i, e in enumerate(batch):
-            g = min(len(e.boxes), G)
-            boxes[i, :g] = e.boxes[:g]
+            img, bx = e.image, e.boxes
+            if self.augment is not None:
+                if rng is not None:  # train
+                    img, bx = train_transform(rng, img, bx, self.augment)
+                else:
+                    img, bx = eval_transform(img, bx, self.augment)
+            images.append(img)
+            g = min(len(bx), G)
+            boxes[i, :g] = bx[:g]
             valid[i, :g] = True
             pmap[i, :g] = positive_map_from_spans(
                 e.token_spans[:g], offsets[i], max_len)
         return {
-            "images": images, "input_ids": ids, "attention_mask": mask,
+            "images": np.stack(images), "input_ids": ids,
+            "attention_mask": mask,
             "gt_boxes": boxes, "gt_valid": valid, "positive_map": pmap,
         }
 
     def batches(self, batch_size: int, seed: int = 0,
                 drop_remainder: bool = True) -> Iterator[dict]:
         n = len(self)
-        order = np.random.RandomState(seed).permutation(n)
+        rng = np.random.RandomState(seed)
+        order = rng.permutation(n)
         end = n - n % batch_size if drop_remainder else n
         for i in range(0, end, batch_size):
             idx = order[i : i + batch_size]
             if len(idx) < batch_size:
                 idx = np.concatenate([idx, order[: batch_size - len(idx)]])
-            yield self._pack([self.examples[j] for j in idx])
+            yield self._pack([self.examples[j] for j in idx],
+                             rng=rng if self.augment is not None else None)
 
     def eval_batches(self, batch_size: int) -> Iterator[tuple]:
         n = len(self)
@@ -92,8 +111,9 @@ def load_mdetr_refexp(
     image_root: str,
     task_id: int,
     tokenizer: Optional[BertTokenizer] = None,
-    image_size: int = 800,
+    image_size: int = 448,
     max_boxes: int = 20,
+    augment: Optional[AugmentConfig] = None,
 ) -> GroundingTaskSet:
     """Load an mdetr-annotated RefExp COCO json filtered to one task.
 
@@ -102,8 +122,16 @@ def load_mdetr_refexp(
     `tokens_positive`, and category ids resolvable to supercategories. Task
     membership = supercategory of the image's FIRST annotation
     (`modulated_coco.py:288-302`).
+
+    Images are stored distort-resized to the transform base size (the
+    reference's `Resize(448, 448, restrict=True)`, `build.py:36-41` — NOT
+    the yaml's 800/1333, which that line overrides); the per-epoch train
+    pipeline (flip / multi-scale / jitter / normalize) is `augment`'s job.
     """
     from PIL import Image
+
+    aug = augment or AugmentConfig(image_size=image_size)
+    base = aug.padded_size
 
     with open(ann_file) as f:
         coco = json.load(f)
@@ -125,23 +153,22 @@ def load_mdetr_refexp(
         with Image.open(path) as im:
             im = im.convert("RGB")
             W0, H0 = im.size
-            scale = image_size / max(W0, H0)
-            nw, nh = round(W0 * scale), round(H0 * scale)
-            im = im.resize((nw, nh), Image.BILINEAR)
-            canvas = np.zeros((image_size, image_size, 3), np.float32)
-            canvas[:nh, :nw] = np.asarray(im, np.float32) / 255.0
+            arr = np.asarray(im.resize((base, base), Image.BILINEAR),
+                             np.float32) / 255.0
+        sx, sy = base / W0, base / H0
         boxes = []
         spans = []
         for a in anns:
             x, y, w, h = a["bbox"]
-            boxes.append([x * scale, y * scale, (x + w) * scale, (y + h) * scale])
+            boxes.append([x * sx, y * sy, (x + w) * sx, (y + h) * sy])
             spans.append([tuple(s) for s in a.get("tokens_positive", [])])
         examples.append(GroundingExample(
-            image=canvas, caption=img.get("caption", ""),
+            image=arr, caption=img.get("caption", ""),
             boxes=np.asarray(boxes, np.float32), token_spans=spans,
             task_index=task_id))
     tok = tokenizer or BertTokenizer()
-    return GroundingTaskSet(examples, tok, max_boxes=max_boxes, task_index=task_id)
+    return GroundingTaskSet(examples, tok, max_boxes=max_boxes,
+                            task_index=task_id, augment=aug)
 
 
 def synthetic_grounding_task(
