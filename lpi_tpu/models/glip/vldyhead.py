@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lpi_tpu.core.config import DyHeadConfig
-from lpi_tpu.ops.deform_conv import deform_conv2d
+from lpi_tpu.ops.deform_conv import deform_conv2d, deform_conv2d_fast
 
 
 def h_sigmoid(x):
@@ -47,6 +47,8 @@ class Conv3x3Norm(nn.Module):
     stride: int = 1
     deformable: bool = True
     dtype: jnp.dtype = jnp.float32
+    deform_impl: str = "fast"
+    deform_window: int = 3
 
     @nn.compact
     def __call__(self, x, offset=None, mask=None):
@@ -57,7 +59,12 @@ class Conv3x3Norm(nn.Module):
             if self.stride > 1:  # offsets are input-res; deform wants output-res
                 offset = offset[:, ::self.stride, ::self.stride]
                 mask = mask[:, ::self.stride, ::self.stride] if mask is not None else None
-            y = deform_conv2d(x, offset, w, b, mask=mask, stride=self.stride)
+            if self.deform_impl == "fast":
+                y = deform_conv2d_fast(x, offset, w, b, mask=mask,
+                                       stride=self.stride,
+                                       max_offset=self.deform_window)
+            else:
+                y = deform_conv2d(x, offset, w, b, mask=mask, stride=self.stride)
         else:
             y = nn.Conv(self.out_channels, (3, 3), strides=(self.stride,) * 2,
                         padding="SAME", dtype=self.dtype,
@@ -99,15 +106,20 @@ class DyConv(nn.Module):
     use_dyfuse: bool = True
     use_deform: bool = True
     dtype: jnp.dtype = jnp.float32
+    deform_impl: str = "fast"
+    deform_window: int = 3
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         conv_same = Conv3x3Norm(self.out_channels, 1, self.use_deform,
-                                self.dtype, name="conv_same")
+                                self.dtype, self.deform_impl,
+                                self.deform_window, name="conv_same")
         conv_down = Conv3x3Norm(self.out_channels, 2, self.use_deform,
-                                self.dtype, name="conv_down")
+                                self.dtype, self.deform_impl,
+                                self.deform_window, name="conv_down")
         conv_up = Conv3x3Norm(self.out_channels, 1, self.use_deform,
-                              self.dtype, name="conv_up")
+                              self.dtype, self.deform_impl,
+                              self.deform_window, name="conv_up")
         offset_conv = (
             nn.Conv(27, (3, 3), padding="SAME",
                     kernel_init=nn.initializers.normal(0.01), name="offset")
@@ -197,7 +209,8 @@ class VLDyHead(nn.Module):
                 use_dyrelu=c.use_dyrelu and (not first or in_ch == c.channels),
                 use_dyfuse=c.use_dyfuse and (not first or in_ch == c.channels),
                 use_deform=c.use_dfconv and (not first or in_ch == c.channels),
-                dtype=self.dtype, name=f"tower{i}")(x)
+                dtype=self.dtype, deform_impl=c.deform_impl,
+                deform_window=c.deform_window, name=f"tower{i}")(x)
 
         bias_value = -math.log((1 - c.prior_prob) / c.prior_prob)
         A = self.num_anchors

@@ -243,3 +243,47 @@ class TestDeformConvWindow:
         g = jax.grad(lambda o: jnp.sum(deform_conv2d_window(feat, o, w) ** 2))(off)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestDeformConvFast:
+    """matmul-first windowed formulation (the DyConv hot-path kernel)."""
+
+    def test_matches_gather_version_interior(self, rng):
+        from lpi_tpu.ops.deform_conv import deform_conv2d_fast
+
+        feat = rng.randn(2, 12, 12, 4).astype(np.float32)
+        w = rng.randn(3, 3, 4, 6).astype(np.float32)
+        offsets = (rng.rand(2, 12, 12, 18).astype(np.float32) * 2 - 1) * 1.5
+        mask = rng.randn(2, 12, 12, 9).astype(np.float32)
+        bias = rng.randn(6).astype(np.float32)
+        a = np.asarray(deform_conv2d(jnp.asarray(feat), jnp.asarray(offsets),
+                                     jnp.asarray(w), bias=jnp.asarray(bias),
+                                     mask=jnp.asarray(mask)))
+        b = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            bias=jnp.asarray(bias), mask=jnp.asarray(mask), max_offset=3))
+        np.testing.assert_allclose(a[:, 4:-4, 4:-4], b[:, 4:-4, 4:-4],
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_zero_offsets_equal_standard_conv(self, rng):
+        from lpi_tpu.ops.deform_conv import deform_conv2d_fast
+
+        feat = rng.randn(2, 8, 8, 3).astype(np.float32)
+        w = rng.randn(3, 3, 3, 5).astype(np.float32)
+        offsets = np.zeros((2, 8, 8, 18), np.float32)
+        got = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w)))
+        tfeat = torch.tensor(feat).permute(0, 3, 1, 2)
+        tw = torch.tensor(w).permute(3, 2, 0, 1)
+        expected = F.conv2d(tfeat, tw, padding=1).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    def test_differentiable(self, rng):
+        from lpi_tpu.ops.deform_conv import deform_conv2d_fast
+
+        feat = jnp.asarray(rng.randn(1, 6, 6, 2).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+        off = jnp.full((1, 6, 6, 18), 0.3)
+        g = jax.grad(lambda o: jnp.sum(deform_conv2d_fast(feat, o, w) ** 2))(off)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
