@@ -82,6 +82,20 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--metric", default="i2t", choices=["i2t", "t2i"])
     r.add_argument("--dataset", default="mscoco")
     r.add_argument("--sessions", type=int, default=12)
+
+    ed = sub.add_parser(
+        "eval-detection",
+        help="score a predictions json against GT (coco / lvis / flickr protocols)")
+    ed.add_argument("predictions", help="json: list of per-image records "
+                    "{image_id, boxes, scores, labels} (per-phrase for flickr)")
+    ed.add_argument("--gt", required=True,
+                    help="COCO/LVIS-format annotation json (flickr: per-phrase "
+                    "gt boxes live inside the predictions records)")
+    ed.add_argument("--protocol", default="coco",
+                    choices=["coco", "lvis", "flickr"])
+    ed.add_argument("--max-dets", type=int, default=None)
+    ed.add_argument("--merge-boxes", action="store_true",
+                    help="flickr: merge multi-box phrases (GLIP protocol)")
     return p
 
 
@@ -361,6 +375,75 @@ def cmd_report(args) -> dict:
     return res
 
 
+def cmd_eval_detection(args) -> dict:
+    """Score detection/grounding predictions with the reference protocols.
+
+    Covers the roles of `evaluation/coco_eval.py` (detection mAP),
+    `evaluation/lvis/lvis_eval.py` (federated LVIS AP + r/c/f bins), and
+    `evaluation/flickr/flickr_eval.py` (phrase Recall@k) from the eval CLI.
+    """
+    with open(args.predictions) as f:
+        preds = json.load(f)
+
+    if args.protocol == "flickr":
+        from lpi_tpu.eval.flickr import FlickrEvaluator
+
+        ev = FlickrEvaluator(merge_gt_boxes=args.merge_boxes)
+        for rec in preds:
+            ev.update(rec["boxes"], rec["scores"], rec["gt_boxes"],
+                      phrase_types=rec.get("phrase_types"))
+        res = ev.summarize()
+        print(json.dumps(res, indent=2))
+        return res
+
+    with open(args.gt) as f:
+        gt = json.load(f)
+    anns_by_img = {}
+    for a in gt.get("annotations", []):
+        anns_by_img.setdefault(a["image_id"], []).append(a)
+
+    def gt_record(image_id):
+        anns = anns_by_img.get(image_id, [])
+        boxes = [[a["bbox"][0], a["bbox"][1],
+                  a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+                 for a in anns]
+        labels = [a["category_id"] for a in anns]
+        return boxes, labels
+
+    if args.protocol == "lvis":
+        from lpi_tpu.eval.lvis import LvisEvaluator
+
+        counts = {c["id"]: c.get("image_count", 100)
+                  for c in gt.get("categories", [])}
+        ev = LvisEvaluator(category_image_counts=counts,
+                           max_dets=args.max_dets or 300)
+        img_meta = {im["id"]: im for im in gt.get("images", [])}
+        for rec in preds:
+            boxes, labels = gt_record(rec["image_id"])
+            meta = img_meta.get(rec["image_id"], {})
+            pos = meta.get("not_exhaustive_category_ids")
+            neg = meta.get("neg_category_ids")
+            federated = pos is not None or neg is not None
+            ev.update(rec["boxes"], rec["scores"], rec["labels"],
+                      boxes, labels,
+                      pos_cats=(pos or []) if federated else None,
+                      neg_cats=(neg or []) if federated else None)
+        res = ev.summarize()
+    else:
+        from lpi_tpu.eval.coco_ap import evaluate_detections
+
+        dets, gts = [], []
+        for rec in preds:
+            boxes, labels = gt_record(rec["image_id"])
+            dets.append({"boxes": rec["boxes"], "scores": rec["scores"],
+                         "labels": rec["labels"]})
+            gts.append({"boxes": boxes, "labels": labels})
+        res = evaluate_detections(dets, gts, max_dets=args.max_dets or 100)
+    res.pop("per_class", None)
+    print(json.dumps(res, indent=2))
+    return res
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -379,6 +462,8 @@ def main(argv=None):
         return cmd_eval(args)
     if args.command == "report":
         return cmd_report(args)
+    if args.command == "eval-detection":
+        return cmd_eval_detection(args)
     raise SystemExit(f"unknown command {args.command}")
 
 
