@@ -12,6 +12,7 @@ inference.
 
 from __future__ import annotations
 
+import time as _time
 from functools import partial
 from typing import Dict, Optional
 
@@ -29,7 +30,7 @@ from lpi_tpu.data.grounding import GroundingTaskSet
 from lpi_tpu.eval.refexp import RefExpEvaluator
 from lpi_tpu.models.glip.atss import atss_losses
 from lpi_tpu.models.glip.grounding import GroundedVLModel, grounding_aux_losses
-from lpi_tpu.models.glip.postprocess import atss_postprocess
+from lpi_tpu.models.glip.postprocess import atss_postprocess_batch
 from lpi_tpu.ops.kmeans import kmeans
 
 from lpi_tpu.continual.common import epoch_cosine as _epoch_cosine
@@ -138,8 +139,6 @@ class GroundingLearner:
         pools, frozen = _split_params(self.params)
         opt_state = tx.init(pools)
         metrics = {}
-        import time as _time
-
         t0 = _time.perf_counter()
         steps = 0
         for epoch in range(epochs):
@@ -221,24 +220,26 @@ class GroundingLearner:
                               jnp.asarray(batch["attention_mask"]), sel)
                 anchors = flat["anchors"]
                 counts = tuple(int(c) for c in flat["level_counts"])
+                # one batched device program per eval batch (vmapped
+                # postprocess), then a single host fetch
+                out = atss_postprocess_batch(
+                    anchors, counts,
+                    flat["bbox_pred"], flat["centerness"],
+                    flat["dot_logits"],
+                    jnp.asarray(batch["positive_map"][:, :1]),  # [B,1,T]
+                    pre_nms_top_n=min(cfg.atss.pre_nms_top_n, anchors.shape[0]),
+                    post_nms_top_n=min(cfg.atss.fpn_post_nms_top_n,
+                                       anchors.shape[0]),
+                    nms_thresh=cfg.atss.nms_thresh,
+                    pre_nms_thresh=cfg.atss.inference_thresh)
+                out = {k: np.asarray(v) for k, v in out.items()}
                 for b in range(real):
-                    pm = batch["positive_map"][b]  # [G, T]
                     gv = batch["gt_valid"][b]
-                    label_map = jnp.asarray(pm[:1])  # single referred phrase
-                    out = atss_postprocess(
-                        anchors, counts,
-                        flat["bbox_pred"][b], flat["centerness"][b],
-                        flat["dot_logits"][b], label_map,
-                        pre_nms_top_n=min(cfg.atss.pre_nms_top_n, anchors.shape[0]),
-                        post_nms_top_n=min(cfg.atss.fpn_post_nms_top_n,
-                                           anchors.shape[0]),
-                        nms_thresh=cfg.atss.nms_thresh,
-                        pre_nms_thresh=cfg.atss.inference_thresh)
-                    valid = np.asarray(out["valid"])
+                    valid = out["valid"][b]
                     evaluator.update(
                         image_index=indices[b],
-                        boxes=np.asarray(out["boxes"])[valid],
-                        scores=np.asarray(out["scores"])[valid],
+                        boxes=out["boxes"][b][valid],
+                        scores=out["scores"][b][valid],
                         gt_box=batch["gt_boxes"][b][np.asarray(gv)][0],
                         task_index=tid)
         res = evaluator.summarize(num_tasks=max(task_sets.keys()) + 1)

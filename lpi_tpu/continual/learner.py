@@ -19,6 +19,7 @@ all-gathers for the batch-global logits matrix.
 
 from __future__ import annotations
 
+import time as _time
 from functools import partial
 from typing import Dict, Optional
 
@@ -162,8 +163,6 @@ class RetrievalLearner:
         pools, frozen = _split_params(self.params)
         opt_state = tx.init(pools)
         metrics = {}
-        import time as _time
-
         t0 = _time.perf_counter()
         steps = 0
         for epoch in range(epochs):
