@@ -8,33 +8,91 @@ masked SGD update — at the reference recipe's batch size 64
 
 Prints ONE JSON line:
   {"metric": "retrieval_train_samples_per_sec_per_chip", "value": N,
-   "unit": "samples/s", "vs_baseline": R}
+   "unit": "samples/s", "vs_baseline": R, ...}
 
-`vs_baseline` compares against REFERENCE_SAMPLES_PER_SEC — an estimate of the
-PyTorch reference's single-GPU fp16 training throughput for the same model
-shape (the repo publishes no throughput; see BASELINE.md). The driver's
-north-star is >=5x at the chip level.
+The same line also carries `grounding_train_samples_per_sec_per_chip`
+(the GLIP-T + LPI fused train step at the reference recipe's 800px), so the
+grounding half has a hardware perf record too. Set LPI_BENCH_GROUNDING=0 to
+skip that leg.
+
+`vs_baseline` divides by REFERENCE_SAMPLES_PER_SEC, which is *derived*, not
+measured (the reference publishes no throughput — BASELINE.md): analytic
+train-step FLOPs of the reference model shape × an assumed end-to-end A100
+fp16 utilization. The derivation is `derive_reference_baseline()` below;
+every input is written down so a reader can recompute or re-parameterize it.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_SAMPLES_PER_SEC = 300.0  # estimated torch fp16 A100 train throughput
+
+def derive_reference_baseline() -> dict:
+    """Transparent estimate of the PyTorch reference's single-GPU training
+    throughput (samples/s) for the retrieval recipe.
+
+    FLOPs: analytic MAC count (1 MAC = 2 FLOPs) of one image-text pair
+    through the reference model shapes (`retrieval/models/clip/model.py`):
+    ViT-B/16 at 224px with 16 extra prompt tokens (seq 1+16+196=213) and the
+    CLIP text tower (width 512, seq 77). Backward: the backbone is frozen
+    (only layer-0 prompts train, `sprompt.py:197-245`), so autograd runs the
+    activation-gradient pass (≈1x forward matmul cost) but skips all weight
+    gradients — train-step cost ≈ 2x forward.
+
+    Utilization: the reference is eager PyTorch that BPE-tokenizes captions
+    on the host inside forward (`prompt_learner.py:128-218`), re-reads the
+    task-similarity matrix from disk every step (`slinet.py:171`), and runs
+    fp16 via .half() weights (`clip/model.py:394-415`). Published MLPerf-ish
+    numbers for *tuned* ViT-B training on A100 are 40-50% of the 312 TFLOPS
+    fp16 peak; research-grade eager code with host work in the loop lands at
+    10-25%. We take 15% as the point estimate and report the range.
+    """
+    def tower_macs(n_tok: int, width: int, mlp: int, layers: int) -> float:
+        qkv = n_tok * width * 3 * width
+        attn = 2 * n_tok * n_tok * width
+        proj = n_tok * width * width
+        ffn = 2 * n_tok * width * mlp
+        return layers * (qkv + attn + proj + ffn)
+
+    vis = tower_macs(213, 768, 3072, 12) + 196 * (16 * 16 * 3) * 768  # +patch embed
+    txt = tower_macs(77, 512, 2048, 12)
+    fwd_flops = 2.0 * (vis + txt)  # per pair
+    train_flops = 2.0 * fwd_flops  # fwd + activation-grad pass (frozen weights)
+
+    a100_fp16_peak = 312e12
+    utilization = 0.15  # point estimate; plausible range 0.10-0.25
+    samples_per_sec = a100_fp16_peak * utilization / train_flops
+    return {
+        "samples_per_sec": samples_per_sec,
+        "train_flops_per_pair": train_flops,
+        "assumed_peak_flops": a100_fp16_peak,
+        "assumed_utilization": utilization,
+        "range_samples_per_sec": [
+            a100_fp16_peak * 0.10 / train_flops,
+            a100_fp16_peak * 0.25 / train_flops,
+        ],
+    }
 
 
-def main():
+def _setup_compile_cache():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lpi_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the persistent cache knobs
+
+
+def bench_retrieval() -> float:
     import jax.numpy as jnp
-    import optax
-    from flax import traverse_util
 
     from lpi_tpu.core.config import RetrievalConfig
-    from lpi_tpu.continual.learner import RetrievalLearner
-    from lpi_tpu.data.retrieval import RetrievalTrainSet
+    from lpi_tpu.continual.learner import RetrievalLearner, _split_params
 
     cfg = RetrievalConfig()  # full ViT-B/16 + LPI prompts, batch 64
     batch = cfg.batch_size
@@ -45,9 +103,8 @@ def main():
     ids[:, -1] = 49407
 
     learner = RetrievalLearner(cfg)
-    tx, step = learner._make_train_step(task_id=0, steps_per_epoch=100, epochs=cfg.epochs)
-    from lpi_tpu.continual.learner import _split_params
-
+    tx, step = learner._make_train_step(task_id=0, steps_per_epoch=100,
+                                        epochs=cfg.epochs)
     pools, frozen = _split_params(learner.params)
     opt_state = tx.init(pools)
     b = {"images": jnp.asarray(images), "token_ids": jnp.asarray(ids)}
@@ -63,14 +120,71 @@ def main():
         pools, opt_state, metrics = step(pools, opt_state, frozen, b)
     float(metrics["total"])  # forces the whole dependent chain
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    samples_per_sec = batch * iters / dt
-    print(json.dumps({
+
+def bench_grounding(image_size: int = 800, batch: int = 4) -> float:
+    """GLIP-T + LPI fused train step at the reference image size.
+
+    Per-chip batch: the reference's IMS_PER_BATCH 16 is a *global* batch
+    across its DDP ranks (`tools/finetune.py:507-527`); per chip we use 4 and
+    report samples/s/chip, which scales linearly over the data mesh.
+    """
+    import jax.numpy as jnp
+
+    from lpi_tpu.core.config import GroundingConfig
+    from lpi_tpu.continual.grounding_learner import GroundingLearner, _split_params
+    from lpi_tpu.data.bert_tokenizer import BertTokenizer
+    from lpi_tpu.data.grounding import synthetic_grounding_task
+
+    cfg = GroundingConfig(image_size=image_size, batch_size=batch)
+    tok = BertTokenizer(max_len=cfg.bert.max_query_len)
+    ds = synthetic_grounding_task(0, batch, image_size, tok,
+                                  max_boxes=cfg.max_boxes)
+    sample = next(ds.batches(cfg.batch_size))
+    learner = GroundingLearner(cfg, sample_batch=sample)
+
+    tx, step = learner._make_step(task_id=0, steps_per_epoch=10,
+                                  epochs=cfg.epochs_per_task)
+    pools, frozen = _split_params(learner.params)
+    opt_state = tx.init(pools)
+    b = {k: jnp.asarray(v) for k, v in sample.items()}
+
+    pools, opt_state, metrics = step(pools, opt_state, frozen, b)
+    float(metrics["total"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pools, opt_state, metrics = step(pools, opt_state, frozen, b)
+    float(metrics["total"])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    _setup_compile_cache()
+    baseline = derive_reference_baseline()
+
+    retrieval_sps = bench_retrieval()
+    out = {
         "metric": "retrieval_train_samples_per_sec_per_chip",
-        "value": round(samples_per_sec, 2),
+        "value": round(retrieval_sps, 2),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(retrieval_sps / baseline["samples_per_sec"], 3),
+        "baseline_samples_per_sec": round(baseline["samples_per_sec"], 1),
+        "baseline_is_derived": True,
+        "baseline_assumed_utilization": baseline["assumed_utilization"],
+    }
+
+    if os.environ.get("LPI_BENCH_GROUNDING", "1") != "0":
+        try:
+            out["grounding_train_samples_per_sec_per_chip"] = round(
+                bench_grounding(), 2)
+        except Exception as e:  # never fail the headline metric
+            out["grounding_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

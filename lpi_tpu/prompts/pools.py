@@ -190,14 +190,12 @@ class L2pPrompt(nn.Module):
     embedding_key: str = "mean"
 
     def setup(self):
-        uni = nn.initializers.uniform(scale=2.0)  # U[0,2) shifted to U[-1,1)
         self.prompt = self.param(
             "prompt", lambda k, s: jax.random.uniform(k, s, jnp.float32, -1.0, 1.0),
             (self.pool_size, self.length, self.embed_dim))
         self.prompt_key = self.param(
             "prompt_key", lambda k, s: jax.random.uniform(k, s, jnp.float32, -1.0, 1.0),
             (self.pool_size, self.embed_dim))
-        del uni
 
     @staticmethod
     def _l2_normalize(x, axis=-1, epsilon=1e-12):

@@ -21,6 +21,14 @@ jax.config.update("jax_enable_x64", False)
 # selected; backends are not initialized yet, so re-point to CPU here.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: the suite is compile-bound on CPU; repeat
+# runs (local iteration, CI re-runs) skip recompiles entirely.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("LPI_TEST_CACHE", "/tmp/lpi_jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 @pytest.fixture(scope="session")
