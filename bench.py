@@ -176,15 +176,34 @@ def main():
         "baseline_is_derived": True,
         "baseline_assumed_utilization": baseline["assumed_utilization"],
     }
+    # print the headline immediately: if the grounding leg (a long remote
+    # TPU compile on first run) is cut off by the caller's budget, this line
+    # is still the tail. A completed grounding run re-prints the same line
+    # enriched (last line wins for a tail-parser).
+    print(json.dumps(out), flush=True)
 
     if os.environ.get("LPI_BENCH_GROUNDING", "1") != "0":
-        try:
-            out["grounding_train_samples_per_sec_per_chip"] = round(
-                bench_grounding(), 2)
-        except Exception as e:  # never fail the headline metric
-            out["grounding_error"] = f"{type(e).__name__}: {e}"[:200]
+        import subprocess
+        import sys
 
-    print(json.dumps(out))
+        budget = int(os.environ.get("LPI_BENCH_GROUNDING_TIMEOUT", "2400"))
+        code = ("import sys; sys.path.insert(0, %r); import bench; "
+                "print('GROUNDING_SPS', bench.bench_grounding())"
+                % os.path.dirname(os.path.abspath(__file__)))
+        try:
+            proc = subprocess.run([sys.executable, "-c", code], timeout=budget,
+                                  capture_output=True, text=True)
+            for line in proc.stdout.splitlines():
+                if line.startswith("GROUNDING_SPS"):
+                    out["grounding_train_samples_per_sec_per_chip"] = round(
+                        float(line.split()[1]), 2)
+                    break
+            else:
+                out["grounding_error"] = (proc.stderr.strip()[-200:]
+                                          or f"rc={proc.returncode}")
+        except subprocess.TimeoutExpired:
+            out["grounding_error"] = f"timeout after {budget}s (first compile)"
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,6 @@ from lpi_tpu.models.glip.grounding import GroundedVLModel, grounding_aux_losses
 from lpi_tpu.models.glip.postprocess import atss_postprocess_batch
 from lpi_tpu.ops.kmeans import kmeans
 
-from lpi_tpu.continual.common import epoch_cosine as _epoch_cosine
 from lpi_tpu.continual.common import merge_params as _merge
 from lpi_tpu.continual.common import split_params as _common_split
 
@@ -55,7 +54,8 @@ class GroundingLearner:
         if sample_batch is None:
             raise ValueError("GroundingLearner needs a sample_batch for shape init")
         key = jax.random.PRNGKey(cfg.seed)
-        variables = self.model.init(
+        # jit(init): one compile instead of hundreds of eager dispatches
+        variables = jax.jit(self.model.init)(
             key, jnp.asarray(sample_batch["images"]),
             jnp.asarray(sample_batch["input_ids"]),
             jnp.asarray(sample_batch["attention_mask"]), 0)
@@ -105,29 +105,62 @@ class GroundingLearner:
         total = sum(losses.values())
         return total, {**losses, "num_pos": det["num_pos"]}
 
+    def _tx(self):
+        """One optimizer for every session: the learning rate is injected
+        per call so the jitted step never rebakes the schedule."""
+        if getattr(self, "_tx_cached", None) is None:
+            cfg = self.cfg
+            self._tx_cached = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip),
+                optax.inject_hyperparams(optax.adamw)(
+                    learning_rate=0.0, weight_decay=cfg.weight_decay),
+            )
+        return self._tx_cached
+
+    def _jitted_step(self):
+        """Task id and lr are TRACED inputs, so this compiles ONCE per run
+        and serves all 12 sessions (vs one multi-minute recompile per task)."""
+        if getattr(self, "_step_cached", None) is None:
+            tx = self._tx()
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def step(pools, opt_state, frozen, batch, task_id, lr):
+                clip_state, inj = opt_state
+                inj = inj._replace(
+                    hyperparams=dict(inj.hyperparams, learning_rate=lr))
+                (total, metrics), grads = jax.value_and_grad(
+                    self._losses, has_aux=True)(pools, frozen, batch, task_id)
+                onehot = {
+                    k: jax.nn.one_hot(task_id, v.shape[0], dtype=v.dtype).reshape(
+                        (v.shape[0],) + (1,) * (v.ndim - 1))
+                    for k, v in grads.items()}
+                grads = {k: g * onehot[k] for k, g in grads.items()}
+                updates, opt_state = tx.update(grads, (clip_state, inj), pools)
+                updates = {k: u * onehot[k] for k, u in updates.items()}
+                pools = optax.apply_updates(pools, updates)
+                return pools, opt_state, {"total": total, **metrics}
+
+            self._step_cached = step
+        return self._step_cached
+
     def _make_step(self, task_id: int, steps_per_epoch: int, epochs: int):
+        import math
+
         cfg = self.cfg
-        tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(_epoch_cosine(cfg.lr, epochs, steps_per_epoch),
-                        weight_decay=cfg.weight_decay),
-        )
+        jitted = self._jitted_step()
+        tid = jnp.int32(task_id)
+        counter = {"n": 0}
 
-        @partial(jax.jit, donate_argnums=(0, 1))
         def step(pools, opt_state, frozen, batch):
-            (total, metrics), grads = jax.value_and_grad(
-                self._losses, has_aux=True)(pools, frozen, batch, task_id)
-            onehot = {
-                k: jax.nn.one_hot(task_id, v.shape[0], dtype=v.dtype).reshape(
-                    (v.shape[0],) + (1,) * (v.ndim - 1))
-                for k, v in grads.items()}
-            grads = {k: g * onehot[k] for k, g in grads.items()}
-            updates, opt_state = tx.update(grads, opt_state, pools)
-            updates = {k: u * onehot[k] for k, u in updates.items()}
-            pools = optax.apply_updates(pools, updates)
-            return pools, opt_state, {"total": total, **metrics}
+            # torch CosineAnnealingLR stepped per epoch (host-side python —
+            # no schedule constants baked into the compiled program)
+            epoch = counter["n"] // max(steps_per_epoch, 1)
+            lr = cfg.lr * 0.5 * (1.0 + math.cos(math.pi * epoch / epochs))
+            counter["n"] += 1
+            return jitted(pools, opt_state, frozen, batch, tid,
+                          jnp.float32(lr))
 
-        return tx, step
+        return self._tx(), step
 
     def train_task(self, dataset: GroundingTaskSet,
                    epochs: Optional[int] = None) -> Dict[str, float]:

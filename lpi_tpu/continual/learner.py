@@ -12,9 +12,11 @@ TPU-native equivalent of the reference's SPrompts method
 * evaluation: per-sample task-ID inference -> batched prompt gather ->
   full feature matrices -> per-task R@k.
 
-The train step is one jit per session (task id is static); batches are
-sharded over the mesh's data axis, parameters replicated — XLA inserts the
-all-gathers for the batch-global logits matrix.
+The train step is compiled ONCE per run: task id and learning rate are
+traced inputs (inter-task loss is masked to tasks 0..task_id, the lr is
+injected into the optimizer state), so all 12 sessions share the program.
+Batches are sharded over the mesh's data axis, parameters replicated — XLA
+inserts the all-gathers for the batch-global logits matrix.
 """
 
 from __future__ import annotations
@@ -35,11 +37,10 @@ from lpi_tpu.core import mesh as mesh_lib
 from lpi_tpu.continual.keys import TaskKeys, infer_task_ids
 from lpi_tpu.data.retrieval import RetrievalEvalSet, RetrievalTrainSet
 from lpi_tpu.eval.retrieval import itm_eval
-from lpi_tpu.losses import alignment_loss, clip_loss, task_prompt_loss
+from lpi_tpu.losses import alignment_loss, clip_loss, task_prompt_loss_masked
 from lpi_tpu.models.clip import SliNet
 from lpi_tpu.ops.kmeans import kmeans
 
-from lpi_tpu.continual.common import epoch_cosine as _epoch_cosine
 from lpi_tpu.continual.common import merge_params as _merge_params
 from lpi_tpu.continual.common import split_params as _common_split
 
@@ -75,7 +76,8 @@ class RetrievalLearner:
                 "images": np.zeros((2, r, r, 3), np.float32),
                 "token_ids": np.zeros((2, cfg.clip.context_length), np.int32),
             }
-        variables = self.model.init(
+        # jit(init): one compile instead of hundreds of eager dispatches
+        variables = jax.jit(self.model.init)(
             key, jnp.asarray(sample_batch["images"]),
             jnp.asarray(sample_batch["token_ids"]), 0)
         params = unfreeze(variables["params"])
@@ -115,41 +117,73 @@ class RetrievalLearner:
             if cfg.lpi.layer_alignment:
                 losses["alignment_loss"] = cfg.lpi.alignment_weight * alignment_loss(
                     vis_p, txt_p, cfg.lpi.alignment_temperature)
-            if cfg.lpi.task_alignment and task_id >= 1:
+            if cfg.lpi.task_alignment:
                 vis_all, txt_all = self.model.apply(
                     {"params": params}, method=self.model.all_task_prompts)
-                s = task_id + 1
-                losses["task_loss"] = cfg.lpi.task_loss_weight * task_prompt_loss(
-                    vis_all[:s].reshape(s, -1), txt_all[:s].reshape(s, -1),
-                    self.task_relation[:s, :s], cfg.lpi.task_temperature)
+                T = vis_all.shape[0]
+                # masked to tasks 0..task_id; 0 at session 0 (slinet.py:160-162)
+                losses["task_loss"] = cfg.lpi.task_loss_weight * task_prompt_loss_masked(
+                    vis_all.reshape(T, -1), txt_all.reshape(T, -1),
+                    self.task_relation, task_id, cfg.lpi.task_temperature)
         total = sum(losses.values())
         return total, losses
 
+    def _tx(self):
+        """One optimizer for every session; lr injected per call."""
+        if getattr(self, "_tx_cached", None) is None:
+            cfg = self.cfg
+            self._tx_cached = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.inject_hyperparams(optax.sgd)(
+                    learning_rate=0.0, momentum=cfg.momentum),
+            )
+        return self._tx_cached
+
+    def _jitted_step(self):
+        """task_id and lr are TRACED, so this compiles once per run and
+        serves all 12 sessions."""
+        if getattr(self, "_step_cached", None) is None:
+            tx = self._tx()
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def step(pool_params, opt_state, frozen_params, batch, task_id, lr):
+                wd_state, inj = opt_state
+                inj = inj._replace(
+                    hyperparams=dict(inj.hyperparams, learning_rate=lr))
+                (total, losses), grads = jax.value_and_grad(
+                    self._losses, has_aux=True)(pool_params, frozen_params,
+                                                batch, task_id)
+                # only the current task's slice may move (leading axis = task)
+                onehot = {
+                    k: jax.nn.one_hot(task_id, v.shape[0], dtype=v.dtype).reshape(
+                        (v.shape[0],) + (1,) * (v.ndim - 1))
+                    for k, v in grads.items()
+                }
+                grads = {k: g * onehot[k] for k, g in grads.items()}
+                updates, opt_state = tx.update(grads, (wd_state, inj), pool_params)
+                updates = {k: u * onehot[k] for k, u in updates.items()}
+                pool_params = optax.apply_updates(pool_params, updates)
+                return pool_params, opt_state, {"total": total, **losses}
+
+            self._step_cached = step
+        return self._step_cached
+
     def _make_train_step(self, task_id: int, steps_per_epoch: int, epochs: int):
+        import math
+
         cfg = self.cfg
-        schedule = _epoch_cosine(cfg.lr, epochs, steps_per_epoch)
-        tx = optax.chain(
-            optax.add_decayed_weights(cfg.weight_decay),
-            optax.sgd(learning_rate=schedule, momentum=cfg.momentum),
-        )
+        jitted = self._jitted_step()
+        tid = jnp.int32(task_id)
+        counter = {"n": 0}
 
-        @partial(jax.jit, donate_argnums=(0, 1))
         def step(pool_params, opt_state, frozen_params, batch):
-            (total, losses), grads = jax.value_and_grad(
-                self._losses, has_aux=True)(pool_params, frozen_params, batch, task_id)
-            # only the current task's slice may move (leading axis = task)
-            onehot = {
-                k: jax.nn.one_hot(task_id, v.shape[0], dtype=v.dtype).reshape(
-                    (v.shape[0],) + (1,) * (v.ndim - 1))
-                for k, v in grads.items()
-            }
-            grads = {k: g * onehot[k] for k, g in grads.items()}
-            updates, opt_state = tx.update(grads, opt_state, pool_params)
-            updates = {k: u * onehot[k] for k, u in updates.items()}
-            pool_params = optax.apply_updates(pool_params, updates)
-            return pool_params, opt_state, {"total": total, **losses}
+            epoch = counter["n"] // max(steps_per_epoch, 1)
+            lr = cfg.lr * 0.5 * (1.0 + math.cos(math.pi * epoch / epochs))
+            counter["n"] += 1
+            return jitted(pool_params, opt_state, frozen_params, batch, tid,
+                          jnp.float32(lr))
 
-        return tx, step
+        return self._tx(), step
 
     def train_session(self, dataset: RetrievalTrainSet, epochs: Optional[int] = None,
                       log_every: int = 50) -> Dict[str, float]:

@@ -155,6 +155,61 @@ def task_prompt_loss(
     )
 
 
+def nt_bxent_loss_masked(
+    x: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray,
+    temperature: float = 1.0
+) -> jnp.ndarray:
+    """`nt_bxent_loss` over the `valid` row/column subset, static shapes.
+
+    Equals `nt_bxent_loss(x[:s], target[:s, :s], T)` when `valid` marks the
+    first s rows — the form the train step needs when the number of seen
+    tasks is a TRACED value (so one compiled step serves all 12 sessions)
+    instead of a shape.
+    """
+    x = x.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    n = x.shape[0]
+    valid = valid.astype(bool)
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    xn = x / jnp.maximum(norm, 1e-8)
+    xcs = xn @ xn.T
+    eye = jnp.eye(n, dtype=bool)
+    xcs = jnp.where(eye, jnp.inf, xcs)
+
+    z = jax.nn.sigmoid(xcs / temperature)
+    loss = _bce_with_logits(z, target)
+
+    vcol = valid[None, :]
+    pos = (target > 0) & vcol
+    neg = (target <= 0) & vcol
+    loss_pos = jnp.sum(jnp.where(pos, loss, 0.0), axis=1)
+    loss_neg = jnp.sum(jnp.where(neg, loss, 0.0), axis=1)
+    num_pos = jnp.sum(jnp.where(vcol, target, 0.0), axis=1)
+    num_neg = jnp.sum(neg, axis=1)
+    row = (loss_pos / jnp.maximum(num_pos, 1.0)
+           + loss_neg / jnp.maximum(num_neg, 1.0))
+    return jnp.sum(jnp.where(valid, row, 0.0)) / jnp.maximum(valid.sum(), 1)
+
+
+def task_prompt_loss_masked(
+    visual_stack: jnp.ndarray,
+    textual_stack: jnp.ndarray,
+    task_relation: jnp.ndarray,
+    task_id,
+    temperature: float = 0.001,
+) -> jnp.ndarray:
+    """`task_prompt_loss` with the seen-task count traced: tasks 0..task_id
+    participate; returns 0 at task_id == 0 (the reference only adds the loss
+    from session 2 on, `slinet.py:160-162`)."""
+    n = visual_stack.shape[0]
+    valid = jnp.arange(n) <= task_id
+    loss = 0.5 * (
+        nt_bxent_loss_masked(visual_stack, task_relation, valid, temperature)
+        + nt_bxent_loss_masked(textual_stack, task_relation, valid, temperature)
+    )
+    return jnp.where(task_id >= 1, loss, 0.0)
+
+
 def info_nce(
     query: jnp.ndarray,
     positive_key: jnp.ndarray,

@@ -27,7 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from lpi_tpu.core.config import GroundingConfig
-from lpi_tpu.losses import clip_loss, nt_bxent_loss
+from lpi_tpu.losses import clip_loss, task_prompt_loss_masked
 from lpi_tpu.models.glip.anchors import concat_anchors
 from lpi_tpu.models.glip.fpn import FPN
 from lpi_tpu.models.glip.fused import FusedDualEncoder
@@ -142,10 +142,12 @@ class GroundedVLModel(nn.Module):
 
 def grounding_aux_losses(vis_p: jnp.ndarray, txt_p: jnp.ndarray,
                          vis_all: jnp.ndarray, txt_all: jnp.ndarray,
-                         task_id: int, task_relation: jnp.ndarray,
+                         task_id, task_relation: jnp.ndarray,
                          cfg: GroundingConfig) -> dict:
     """Alignment + inter-task losses, grounding flavor
-    (`generalized_vl_rcnn.py:400-513`)."""
+    (`generalized_vl_rcnn.py:400-513`). `task_id` may be traced — the
+    inter-task loss masks to tasks 0..task_id and vanishes at task 0, so one
+    compiled train step serves every session."""
     losses = {}
     lpi = cfg.lpi
     if lpi.layer_alignment:
@@ -154,10 +156,9 @@ def grounding_aux_losses(vis_p: jnp.ndarray, txt_p: jnp.ndarray,
         v = v * jax.lax.rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-12)
         t = t * jax.lax.rsqrt(jnp.sum(t * t, -1, keepdims=True) + 1e-12)
         losses["alignment_loss"] = 0.1 * clip_loss(100.0 * v @ t.T)
-    if lpi.task_alignment and task_id >= 1:
-        s = task_id + 1
-        rel = task_relation[:s, :s]
-        losses["task_loss"] = 0.1 * 0.5 * (
-            nt_bxent_loss(vis_all[:s].reshape(s, -1), rel, 0.01)
-            + nt_bxent_loss(txt_all[:s].reshape(s, -1), rel, 0.01))
+    if lpi.task_alignment:
+        T = vis_all.shape[0]
+        losses["task_loss"] = 0.1 * task_prompt_loss_masked(
+            vis_all.reshape(T, -1), txt_all.reshape(T, -1),
+            task_relation, task_id, 0.01)
     return losses

@@ -158,6 +158,7 @@ class TestGlipConvert:
         ]
         assert uncovered == [], uncovered[:10]
 
+    @pytest.mark.slow  # full tiny-GLIP init + forward compile
     def test_merged_model_runs(self, converted):
         _, flat, _ = converted
         model = GroundedVLModel(TINY)

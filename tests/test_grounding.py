@@ -18,17 +18,22 @@ from lpi_tpu.data.bert_tokenizer import BertTokenizer, basic_tokenize, positive_
 from lpi_tpu.data.grounding import synthetic_grounding_task
 
 TINY = GroundingConfig(
-    swin=SwinConfig(patch_size=4, embed_dim=8, depths=(2, 2, 6, 2),
+    # depths (2,2,2,2) + 8 BERT layers: 1/3 less graph than the real
+    # (2,2,6,2)/12 at identical code coverage — compile time is the suite's
+    # bottleneck on 1-CPU hosts; full unroll for the same reason (the scan
+    # path is covered by test_glip_encoder)
+    swin=SwinConfig(patch_size=4, embed_dim=8, depths=(2, 2, 2, 2),
                     num_heads=(1, 2, 2, 2), window_size=4),
-    bert=BertConfig(vocab_size=512, hidden_size=16, num_layers=12, num_heads=2,
+    bert=BertConfig(vocab_size=512, hidden_size=16, num_layers=8, num_heads=2,
                     intermediate_size=32, max_position_embeddings=32,
                     max_query_len=16),
+    fused_scan_unroll=99,
     dyhead=DyHeadConfig(num_convs=2, channels=16, max_tokens=16),
     atss=ATSSConfig(anchor_sizes=(8, 16, 32, 64, 128),
                     anchor_strides=(4, 8, 16, 32, 64),
                     pre_nms_top_n=50, fpn_post_nms_top_n=10),
-    lpi=LPIPromptConfig(prompt_length=4, prompt_depth=9, prompt_rank=2,
-                        interact_rank=2, interact_depth=9),
+    lpi=LPIPromptConfig(prompt_length=4, prompt_depth=6, prompt_rank=2,
+                        interact_rank=2, interact_depth=6),
     total_tasks=3, epochs_per_task=1, batch_size=2, max_boxes=4,
     image_size=64, num_key_clusters=2, dtype="float32")
 
@@ -78,7 +83,12 @@ class TestGroundingData:
         assert batch["positive_map"][:, 0].sum() > 0
 
 
+@pytest.mark.slow
 class TestGroundingLearner:
+    """Full train-step compiles: minutes on a 1-core CPU host — excluded
+    from the default run (pytest -m slow to include). The same paths are
+    driven by __graft_entry__.dryrun_multichip and the verify skill."""
+
     @pytest.fixture(scope="class")
     def learner(self):
         tok = BertTokenizer(max_len=16, vocab_size=512)
@@ -108,7 +118,8 @@ class TestGroundingLearner:
         assert metrics["loss_dot_product_token"] > 0
         if metrics["num_pos"] >= 1:
             assert metrics["loss_reg"] > 0
-        assert "task_loss" not in metrics  # first task
+        # masked inter-task loss: present but exactly 0 at the first task
+        assert metrics.get("task_loss", 0.0) == 0.0
         assert l.keys is not None and bool(l.keys.valid[0])
 
     def test_gradients_finite(self, learner):

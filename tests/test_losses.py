@@ -143,3 +143,43 @@ class TestInfoNce:
         expected = F.cross_entropy(qt @ kt.T / 0.1, torch.arange(8)).item()
         got = float(info_nce(jnp.asarray(q), jnp.asarray(k), 0.1))
         assert got == pytest.approx(expected, rel=1e-5)
+
+
+class TestMaskedTaskLoss:
+    def test_masked_equals_sliced(self, rng):
+        from lpi_tpu.losses import (nt_bxent_loss, nt_bxent_loss_masked,
+                                    task_prompt_loss, task_prompt_loss_masked)
+
+        x = jnp.asarray(rng.randn(5, 7).astype(np.float32))
+        # identity + one symmetric pair: every prefix row keeps >= 1 negative
+        # (the reference divides by num_neg and NaNs otherwise)
+        rel = jnp.eye(5).at[2, 0].set(1.0).at[0, 2].set(1.0)
+        for s in (2, 3, 5):
+            valid = jnp.arange(5) < s
+            a = float(nt_bxent_loss(x[:s], rel[:s, :s], 0.01))
+            b = float(nt_bxent_loss_masked(x, rel, valid, 0.01))
+            np.testing.assert_allclose(a, b, rtol=1e-5)
+        v = jnp.asarray(rng.randn(5, 7).astype(np.float32))
+        t = jnp.asarray(rng.randn(5, 7).astype(np.float32))
+        a = float(task_prompt_loss(v[:3], t[:3], rel[:3, :3], 0.01))
+        b = float(task_prompt_loss_masked(v, t, rel, 2, 0.01))
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+    def test_zero_at_task_zero(self, rng):
+        from lpi_tpu.losses import task_prompt_loss_masked
+
+        v = jnp.asarray(rng.randn(4, 6).astype(np.float32))
+        rel = jnp.eye(4)
+        assert float(task_prompt_loss_masked(v, v, rel, 0)) == 0.0
+
+    def test_traced_task_id_grads_finite(self, rng):
+        from lpi_tpu.losses import task_prompt_loss_masked
+
+        rel = jnp.eye(4)
+
+        def f(v, tid):
+            return task_prompt_loss_masked(v, v, rel, tid)
+
+        g = jax.grad(f)(jnp.asarray(rng.randn(4, 6).astype(np.float32)),
+                        jnp.int32(2))
+        assert np.isfinite(np.asarray(g)).all()

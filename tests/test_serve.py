@@ -32,6 +32,7 @@ class TestNer:
         assert len(spans[i]) == 2
 
 
+@pytest.mark.slow  # tiny-GLIP init + several predictor forward compiles
 class TestPredictor:
     @pytest.fixture(scope="class")
     def predictor(self):

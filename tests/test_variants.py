@@ -34,6 +34,7 @@ class TestMaPLePool:
         np.testing.assert_allclose(np.asarray(all_vis[2]), np.asarray(vis2), atol=1e-5)
 
 
+@pytest.mark.slow  # two full tiny-GLIP init+forward compiles
 @pytest.mark.parametrize("variant", ["maple", "sprompts"])
 def test_grounding_model_variant_forward(variant, rng):
     cfg = dataclasses.replace(
@@ -108,6 +109,7 @@ class TestVLFuse:
         assert new_hidden.shape == hidden.shape
         assert not np.allclose(np.asarray(outs[0]), np.asarray(feats[0]), atol=1e-5)
 
+    @pytest.mark.slow  # full tiny-GLIP init+forward compile
     def test_early_fuse_grounding_forward(self, rng):
         cfg = dataclasses.replace(
             TINY, dyhead=dataclasses.replace(TINY.dyhead, early_fuse=True,
