@@ -171,6 +171,71 @@ def load_mdetr_refexp(
                             task_index=task_id, augment=aug)
 
 
+def load_coco_detection(
+    ann_file: str,
+    image_root: str,
+    tokenizer: Optional[BertTokenizer] = None,
+    image_size: int = 448,
+    max_boxes: int = 20,
+    max_images: Optional[int] = None,
+    augment: Optional[AugmentConfig] = None,
+) -> GroundingTaskSet:
+    """COCO-format detection json -> grounding task set.
+
+    Covers the reference's detection-mode datasets (`datasets/coco.py`
+    COCODataset, and the COCO-format object365 / VG jsons, SURVEY §2.3 G20)
+    through GLIP's detection->grounding conversion: each image's caption
+    enumerates the category names and every box's positive map marks its
+    class-name span (`od_to_grounding.convert_od_to_grounding_simple`,
+    wired like `data/datasets/modulated_coco.py` CocoGrounding).
+    """
+    from PIL import Image
+
+    from lpi_tpu.data.od_grounding import build_detection_caption
+
+    aug = augment or AugmentConfig(image_size=image_size)
+    base = aug.padded_size
+    tok = tokenizer or BertTokenizer()
+
+    with open(ann_file) as f:
+        coco = json.load(f)
+    cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
+    cat_index = {c["id"]: i for i, c in enumerate(cats)}
+    names = [c.get("name", str(c["id"])) for c in cats]
+    caption, spans = build_detection_caption(names)
+
+    anns_by_img: Dict[int, list] = {}
+    for a in coco["annotations"]:
+        anns_by_img.setdefault(a["image_id"], []).append(a)
+
+    examples = []
+    for img in coco["images"]:
+        anns = anns_by_img.get(img["id"])
+        if not anns:
+            continue
+        path = os.path.join(image_root, img["file_name"])
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            W0, H0 = im.size
+            arr = np.asarray(im.resize((base, base), Image.BILINEAR),
+                             np.float32) / 255.0
+        sx, sy = base / W0, base / H0
+        boxes = []
+        token_spans = []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            boxes.append([x * sx, y * sy, (x + w) * sx, (y + h) * sy])
+            token_spans.append([spans[cat_index[a["category_id"]]]])
+        examples.append(GroundingExample(
+            image=arr, caption=caption,
+            boxes=np.asarray(boxes, np.float32), token_spans=token_spans,
+            task_index=0))
+        if max_images is not None and len(examples) >= max_images:
+            break
+    return GroundingTaskSet(examples, tok, max_boxes=max_boxes,
+                            task_index=0, augment=aug)
+
+
 def synthetic_grounding_task(
     task_index: int,
     num_samples: int = 8,
