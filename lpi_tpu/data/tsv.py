@@ -19,6 +19,13 @@ import os
 from typing import List, Optional, Sequence
 
 
+def _load_yaml(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
 def create_lineidx(tsv_path: str, idx_path: Optional[str] = None) -> str:
     """Byte offset of every row (`tsv.py:50-60`)."""
     idx_path = idx_path or os.path.splitext(tsv_path)[0] + ".lineidx"
@@ -125,6 +132,23 @@ class TSVDataset:
         self.label_tsv = (TSVFile(label_file, generate_lineidx=True)
                           if label_file else None)
         self.line_list = load_linelist_file(linelist_file)
+
+    @classmethod
+    def from_yaml(cls, yaml_file: str, root: Optional[str] = None
+                  ) -> "TSVDataset":
+        """Shard-descriptor constructor (`tsv.py:326-352` TSVYamlDataset):
+        a yaml with `img` / optional `label` / optional `linelist` keys,
+        paths relative to the yaml's directory."""
+        cfg = _load_yaml(yaml_file)
+        base = root or os.path.dirname(yaml_file)
+
+        def find(fname):
+            if fname is None:
+                return None
+            return fname if os.path.isfile(fname) else os.path.join(base, fname)
+
+        return cls(find(cfg["img"]), find(cfg.get("label")),
+                   find(cfg.get("linelist")))
 
     def __len__(self):
         return len(self.line_list) if self.line_list is not None \
