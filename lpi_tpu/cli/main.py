@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--config", default=None)
     g.add_argument("--ann", default=None, help="mdetr refexp annotation json")
     g.add_argument("--image-root", default=None)
+    g.add_argument("--dataset", default=None,
+                   help="catalog name (e.g. refexp_train); resolves "
+                        "ann/image paths via $DATASET search like the "
+                        "reference's paths_catalog")
     g.add_argument("--glip-ckpt", default=None, help="GLIP-T .pth to convert")
     g.add_argument("--bert-vocab", default=None)
     g.add_argument("--task-sim", default=None)
@@ -192,8 +196,18 @@ def cmd_train(args) -> str:
 
 def cmd_train_grounding(args) -> str:
     """Continual grounding loop (reference `tools/finetune.py:58-340`)."""
-    if not args.synthetic and not (args.ann and args.image_root):
-        raise SystemExit("need --ann/--image-root (or --synthetic)")
+    if not args.synthetic and not getattr(args, "dataset", None) \
+            and not (args.ann and args.image_root):
+        raise SystemExit("need --dataset, --ann/--image-root, or --synthetic")
+    if getattr(args, "dataset", None):
+        from lpi_tpu.data.catalog import CATALOG, try_to_find
+
+        spec = CATALOG.get(args.dataset)
+        if spec.kind != "mdetr":
+            raise SystemExit(f"--dataset {args.dataset} is {spec.kind}-kind; "
+                             "train-grounding takes an mdetr-format name")
+        args.ann = try_to_find(spec.ann_file)
+        args.image_root = try_to_find(spec.img_dir)
 
     from lpi_tpu.core.config import load_config
     from lpi_tpu.core.checkpoint import SessionCheckpointer

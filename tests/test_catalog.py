@@ -117,3 +117,23 @@ class TestRegistration:
         img, anns, key = ds[0]
         assert key == "k0" and img.size == (8, 8)
         assert anns["objects"][0]["class"] == "cat"
+
+
+class TestCliDatasetFlag:
+    def test_tsv_kind_rejected(self):
+        from lpi_tpu.cli.main import build_parser, cmd_train_grounding
+
+        args = build_parser().parse_args(
+            ["train-grounding", "--dataset", "vg_dt_train"])
+        with pytest.raises(SystemExit, match="tsv-kind"):
+            cmd_train_grounding(args)
+
+    def test_mdetr_name_resolves_paths(self, tmp_path, monkeypatch):
+        from lpi_tpu.cli.main import build_parser, cmd_train_grounding
+
+        # missing files -> try_to_find raises, proving resolution is wired
+        monkeypatch.setenv("DATASET", str(tmp_path))
+        args = build_parser().parse_args(
+            ["train-grounding", "--dataset", "refexp_train"])
+        with pytest.raises(FileNotFoundError):
+            cmd_train_grounding(args)
