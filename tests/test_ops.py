@@ -287,3 +287,47 @@ class TestDeformConvFast:
         g = jax.grad(lambda o: jnp.sum(deform_conv2d_fast(feat, o, w) ** 2))(off)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestDeformConvFastScan:
+    """scan-over-taps fast path: bit-identical to the unrolled fast path."""
+
+    def test_matches_unrolled_fast(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_fast_scan)
+
+        feat = rng.randn(2, 10, 10, 4).astype(np.float32)
+        w = rng.randn(3, 3, 4, 6).astype(np.float32)
+        offsets = (rng.rand(2, 10, 10, 18).astype(np.float32) * 2 - 1) * 2.5
+        mask = rng.randn(2, 10, 10, 9).astype(np.float32)
+        bias = rng.randn(6).astype(np.float32)
+        a = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            bias=jnp.asarray(bias), mask=jnp.asarray(mask), max_offset=2))
+        b = np.asarray(deform_conv2d_fast_scan(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            bias=jnp.asarray(bias), mask=jnp.asarray(mask), max_offset=2))
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_strided_no_mask(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_fast_scan)
+
+        feat = rng.randn(1, 8, 8, 3).astype(np.float32)
+        w = rng.randn(3, 3, 3, 5).astype(np.float32)
+        offsets = np.full((1, 4, 4, 18), 0.4, np.float32)
+        a = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w), stride=2))
+        b = np.asarray(deform_conv2d_fast_scan(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w), stride=2))
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_differentiable(self, rng):
+        from lpi_tpu.ops.deform_conv import deform_conv2d_fast_scan
+
+        feat = jnp.asarray(rng.randn(1, 6, 6, 2).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+        off = jnp.full((1, 6, 6, 18), 0.3)
+        g = jax.grad(lambda o: jnp.sum(deform_conv2d_fast_scan(feat, o, w) ** 2))(off)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
