@@ -147,7 +147,11 @@ class DyHeadConfig:
     use_dfconv: bool = True
     # deformable-conv implementation: "fast" = matmul-first windowed
     # (gather-free, offsets clamped to +-deform_window px — exact for
-    # trained GLIP offsets), "exact" = bilinear-gather reference semantics
+    # trained GLIP offsets), "fast_scan" = same math, tap loop scanned
+    # (~9x smaller compiled program), "pallas" = same math, displacement
+    # accumulation in a VMEM-resident Pallas kernel (smallest program,
+    # fastest; stride-2 convs fall back to fast_scan), "exact" =
+    # bilinear-gather reference semantics
     deform_impl: str = "fast"
     deform_window: int = 3
     log_scale: float = 0.0

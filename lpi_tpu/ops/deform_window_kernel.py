@@ -1,0 +1,245 @@
+"""Pallas TPU kernel: windowed deformable-sampling accumulation.
+
+The TPU-native deformable conv (`ops/deform_conv.py`) is matmul-first: each
+tap's dense product map `h_k = feats @ W_k` runs on the MXU, and what remains
+is the bilinear part — a hat-weighted sum over (2m+2)^2 static displacements
+of the padded product map:
+
+    acc[p] = sum_{dy,dx} max(0,1-|oy[p]-dy|) * max(0,1-|ox[p]-dx|)
+             * hp[p + (dy,dx) + m]
+
+Expressed in XLA that is 64 slice+FMA passes whose fwd+bwd unrolls into a
+huge program (the grounding train step's compile-time long pole) and, at
+best, streams the product map from HBM dozens of times. This kernel runs the
+whole displacement loop VMEM-resident: grid over (batch, channel tiles),
+one load of `hp`, 64 register-level FMAs, one store — and a custom VJP with
+two more kernels for the backward (d/d hp is the transposed placement sum;
+d/d offsets contracts the cotangent with the product map under the hat
+derivative). Replaces the displacement passes of
+`csrc/cuda/deform_conv_kernel_cuda.cu`'s bilinear im2col (SURVEY §2.4) with
+identical math.
+
+`window_accumulate` is the public entry; pure-jnp references
+(`window_accumulate_reference`, used for goldens and as the non-TPU
+fallback) define the exact semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _hat(o: jnp.ndarray, d: int) -> jnp.ndarray:
+    return jnp.maximum(0.0, 1.0 - jnp.abs(o - d))
+
+
+def _dhat(o: jnp.ndarray, d: int) -> jnp.ndarray:
+    """d/do hat(o-d): -sign(o-d) where |o-d| < 1, else 0."""
+    t = o - d
+    return jnp.where(jnp.abs(t) < 1.0, -jnp.sign(t), 0.0)
+
+
+# --------------------------------------------------------------------------
+# pure-jnp reference semantics
+# --------------------------------------------------------------------------
+
+def window_accumulate_reference(hp: jnp.ndarray, oy: jnp.ndarray,
+                                ox: jnp.ndarray, m: int) -> jnp.ndarray:
+    """hp [B, Ho+2m+1, Wo+2m+1, C]; oy/ox [B, Ho, Wo] in [-m, m]."""
+    B, Hp, Wp, C = hp.shape
+    Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
+    acc = jnp.zeros((B, Ho, Wo, C), hp.dtype)
+    for dy in range(-m, m + 2):
+        wy = _hat(oy, dy)
+        for dx in range(-m, m + 2):
+            coeff = wy * _hat(ox, dx)
+            win = jax.lax.slice(hp, (0, dy + m, dx + m, 0),
+                                (B, dy + m + Ho, dx + m + Wo, C))
+            acc = acc + coeff[..., None] * win
+    return acc
+
+
+def _bwd_reference(m, res, ct):
+    hp, oy, ox = res
+    B, Hp, Wp, C = hp.shape
+    Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
+    dhp = jnp.zeros_like(hp)
+    doy = jnp.zeros_like(oy)
+    dox = jnp.zeros_like(ox)
+    for dy in range(-m, m + 2):
+        wy = _hat(oy, dy)
+        gy = _dhat(oy, dy)
+        for dx in range(-m, m + 2):
+            wx = _hat(ox, dx)
+            gx = _dhat(ox, dx)
+            win = jax.lax.slice(hp, (0, dy + m, dx + m, 0),
+                                (B, dy + m + Ho, dx + m + Wo, C))
+            s = jnp.sum(ct * win, axis=-1)  # [B, Ho, Wo]
+            doy = doy + gy * wx * s
+            dox = dox + wy * gx * s
+            place = (wy * wx)[..., None] * ct
+            dhp = jax.lax.dynamic_update_slice(
+                dhp, jax.lax.dynamic_slice(
+                    dhp, (0, dy + m, dx + m, 0), (B, Ho, Wo, C)) + place,
+                (0, dy + m, dx + m, 0))
+    return dhp, doy, dox
+
+
+# --------------------------------------------------------------------------
+# pallas kernels
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(hp_ref, oy_ref, ox_ref, out_ref, *, m: int, Ho: int, Wo: int):
+    oy = oy_ref[0]
+    ox = ox_ref[0]
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for dy in range(-m, m + 2):
+        wy = _hat(oy, dy)
+        for dx in range(-m, m + 2):
+            coeff = wy * _hat(ox, dx)
+            win = hp_ref[0, dy + m:dy + m + Ho, dx + m:dx + m + Wo, :]
+            acc = acc + coeff[..., None] * win
+    out_ref[0] = acc
+
+
+def _bwd_hp_kernel(ct_ref, oy_ref, ox_ref, dhp_ref, *, m: int, Ho: int,
+                   Wo: int):
+    oy = oy_ref[0]
+    ox = ox_ref[0]
+    ct = ct_ref[0]
+    dhp_ref[0] = jnp.zeros(dhp_ref.shape[1:], jnp.float32)
+    for dy in range(-m, m + 2):
+        wy = _hat(oy, dy)
+        for dx in range(-m, m + 2):
+            place = (wy * _hat(ox, dx))[..., None] * ct
+            cur = dhp_ref[0, dy + m:dy + m + Ho, dx + m:dx + m + Wo, :]
+            dhp_ref[0, dy + m:dy + m + Ho, dx + m:dx + m + Wo, :] = cur + place
+
+
+def _bwd_off_kernel(hp_ref, oy_ref, ox_ref, ct_ref, doy_ref, dox_ref, *,
+                    m: int, Ho: int, Wo: int):
+    c_idx = pl.program_id(1)
+    oy = oy_ref[0]
+    ox = ox_ref[0]
+    ct = ct_ref[0]
+    doy = jnp.zeros((Ho, Wo), jnp.float32)
+    dox = jnp.zeros((Ho, Wo), jnp.float32)
+    for dy in range(-m, m + 2):
+        wy = _hat(oy, dy)
+        gy = _dhat(oy, dy)
+        for dx in range(-m, m + 2):
+            wx = _hat(ox, dx)
+            gx = _dhat(ox, dx)
+            win = hp_ref[0, dy + m:dy + m + Ho, dx + m:dx + m + Wo, :]
+            s = jnp.sum(ct * win, axis=-1)
+            doy = doy + gy * wx * s
+            dox = dox + wy * gx * s
+
+    @pl.when(c_idx == 0)
+    def _init():
+        doy_ref[0] = doy
+        dox_ref[0] = dox
+
+    @pl.when(c_idx != 0)
+    def _accum():
+        doy_ref[0] += doy
+        dox_ref[0] += dox
+
+
+def _ctile(C: int) -> int:
+    for t in (128, 64, 32, 16, 8):
+        if C % t == 0:
+            return t
+    return C
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def window_accumulate(hp: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
+                      m: int, interpret: bool = False) -> jnp.ndarray:
+    """Hat-windowed displacement accumulation (see module docstring).
+
+    hp [B, Ho+2m+1, Wo+2m+1, C] fp32; oy/ox [B, Ho, Wo] fp32 clamped to
+    [-m, m] by the caller (clamp gradients belong to the caller's clip).
+    """
+    return _fwd_impl(hp, oy, ox, m, interpret)
+
+
+def _fwd_impl(hp, oy, ox, m, interpret):
+    B, Hp, Wp, C = hp.shape
+    Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
+    ct = _ctile(C)
+    return pl.pallas_call(
+        partial(_fwd_kernel, m=m, Ho=Ho, Wo=Wo),
+        grid=(B, C // ct),
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp, ct), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Ho, Wo, ct), lambda b, c: (b, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, C), jnp.float32),
+        interpret=interpret,
+    )(hp, oy, ox)
+
+
+def _vjp_fwd(hp, oy, ox, m, interpret):
+    return _fwd_impl(hp, oy, ox, m, interpret), (hp, oy, ox)
+
+
+def _vjp_bwd(m, interpret, res, ct):
+    hp, oy, ox = res
+    B, Hp, Wp, C = hp.shape
+    Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
+    tile = _ctile(C)
+    dhp = pl.pallas_call(
+        partial(_bwd_hp_kernel, m=m, Ho=Ho, Wo=Wo),
+        grid=(B, C // tile),
+        in_specs=[
+            pl.BlockSpec((1, Ho, Wo, tile), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hp, Wp, tile), lambda b, c: (b, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), jnp.float32),
+        interpret=interpret,
+    )(ct, oy, ox)
+    doy, dox = pl.pallas_call(
+        partial(_bwd_off_kernel, m=m, Ho=Ho, Wo=Wo),
+        grid=(B, C // tile),
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp, tile), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo, tile), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, Ho, Wo), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Ho, Wo), jnp.float32)],
+        interpret=interpret,
+    )(hp, oy, ox, ct)
+    return dhp, doy, dox
+
+
+window_accumulate.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,110 @@
+"""Pallas windowed-deform kernel: fwd/bwd vs pure-jnp reference (interpret)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lpi_tpu.ops.deform_window_kernel import (window_accumulate,
+                                              window_accumulate_reference)
+
+pytestmark = pytest.mark.fast
+
+M = 2
+
+
+def _inputs(rng, B=2, Ho=6, Wo=6, C=8, m=M):
+    hp = rng.randn(B, Ho + 2 * m + 1, Wo + 2 * m + 1, C).astype(np.float32)
+    oy = ((rng.rand(B, Ho, Wo) * 2 - 1) * m).astype(np.float32)
+    ox = ((rng.rand(B, Ho, Wo) * 2 - 1) * m).astype(np.float32)
+    return jnp.asarray(hp), jnp.asarray(oy), jnp.asarray(ox)
+
+
+class TestForward:
+    def test_matches_reference(self, rng):
+        hp, oy, ox = _inputs(rng)
+        got = window_accumulate(hp, oy, ox, M, True)
+        want = window_accumulate_reference(hp, oy, ox, M)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_zero_offsets_center_tap(self, rng):
+        """o=0 -> pure center displacement: acc == hp interior window."""
+        hp, _, _ = _inputs(rng)
+        z = jnp.zeros((2, 6, 6))
+        got = np.asarray(window_accumulate(hp, z, z, M, True))
+        want = np.asarray(hp[:, M:M + 6, M:M + 6, :])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_odd_channel_tile(self, rng):
+        hp, oy, ox = _inputs(rng, C=24)  # tile 8, 3 grid steps
+        got = window_accumulate(hp, oy, ox, M, True)
+        want = window_accumulate_reference(hp, oy, ox, M)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+class TestBackward:
+    def test_grads_match_reference_grads(self, rng):
+        hp, oy, ox = _inputs(rng, B=1, Ho=5, Wo=5, C=8)
+        ct_seed = jnp.asarray(rng.randn(1, 5, 5, 8).astype(np.float32))
+
+        def loss_k(h, y, x):
+            return jnp.sum(window_accumulate(h, y, x, M, True) * ct_seed)
+
+        def loss_r(h, y, x):
+            return jnp.sum(window_accumulate_reference(h, y, x, M) * ct_seed)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(hp, oy, ox)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(hp, oy, ox)
+        for a, b, name in zip(gk, gr, ("dhp", "doy", "dox")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4, err_msg=name)
+
+    def test_offset_grad_nonzero(self, rng):
+        hp, oy, ox = _inputs(rng, B=1, Ho=4, Wo=4, C=8)
+        g = jax.grad(lambda y: jnp.sum(
+            window_accumulate(hp, y, ox, M, True) ** 2))(oy)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestDeformConvPallas:
+    """Full op built on the kernel vs the unrolled fast path."""
+
+    def test_matches_fast(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_pallas)
+
+        feat = rng.randn(2, 10, 10, 8).astype(np.float32)
+        w = rng.randn(3, 3, 8, 8).astype(np.float32)
+        offsets = ((rng.rand(2, 10, 10, 18) * 2 - 1) * 2.5).astype(np.float32)
+        mask = rng.randn(2, 10, 10, 9).astype(np.float32)
+        bias = rng.randn(8).astype(np.float32)
+        a = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            bias=jnp.asarray(bias), mask=jnp.asarray(mask), max_offset=2))
+        b = np.asarray(deform_conv2d_pallas(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            bias=jnp.asarray(bias), mask=jnp.asarray(mask), max_offset=2,
+            interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_grad_matches_fast(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_pallas)
+
+        feat = jnp.asarray(rng.randn(1, 6, 6, 8).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32))
+        off = jnp.asarray(((rng.rand(1, 6, 6, 18) * 2 - 1) * 1.5)
+                          .astype(np.float32))
+
+        ga = jax.grad(lambda f, o: jnp.sum(
+            deform_conv2d_fast(f, o, w, max_offset=2) ** 2),
+            argnums=(0, 1))(feat, off)
+        gb = jax.grad(lambda f, o: jnp.sum(
+            deform_conv2d_pallas(f, o, w, max_offset=2, interpret=True) ** 2),
+            argnums=(0, 1))(feat, off)
+        for a, b, name in zip(ga, gb, ("dfeat", "doff")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3, err_msg=name)
