@@ -151,8 +151,9 @@ class DyHeadConfig:
     # (~9x smaller compiled program), "pallas" = same math, displacement
     # accumulation in a VMEM-resident Pallas kernel (smallest program,
     # fastest; stride-2 convs fall back to fast_scan), "exact" =
-    # bilinear-gather reference semantics
-    deform_impl: str = "fast"
+    # bilinear-gather reference semantics. v5e tower-grad measurements in
+    # `ops/deform_conv.py:deform_conv2d_pallas` docstring.
+    deform_impl: str = "pallas"
     deform_window: int = 3
     log_scale: float = 0.0
     prior_prob: float = 0.01

@@ -49,7 +49,7 @@ class Conv3x3Norm(nn.Module):
     stride: int = 1
     deformable: bool = True
     dtype: jnp.dtype = jnp.float32
-    deform_impl: str = "fast"
+    deform_impl: str = "pallas"
     deform_window: int = 3
 
     @nn.compact
@@ -116,7 +116,7 @@ class DyConv(nn.Module):
     use_dyfuse: bool = True
     use_deform: bool = True
     dtype: jnp.dtype = jnp.float32
-    deform_impl: str = "fast"
+    deform_impl: str = "pallas"
     deform_window: int = 3
 
     @nn.compact

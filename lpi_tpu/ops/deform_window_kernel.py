@@ -95,30 +95,46 @@ def _bwd_reference(m, res, ct):
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(hp_ref, oy_ref, ox_ref, out_ref, *, m: int, Ho: int, Wo: int):
+    # fori_loop + in-place accumulation: an unrolled functional `acc = acc +
+    # ...` chain makes Mosaic stack-allocate every step's temporary at once
+    # ((2m+2)^2 x the block -> scoped-vmem OOM); the loop keeps ONE window
+    # temp live and RMWs the output ref
+    n = 2 * m + 2
     oy = oy_ref[0]
     ox = ox_ref[0]
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
-    for dy in range(-m, m + 2):
-        wy = _hat(oy, dy)
-        for dx in range(-m, m + 2):
-            coeff = wy * _hat(ox, dx)
-            win = hp_ref[0, dy + m:dy + m + Ho, dx + m:dx + m + Wo, :]
-            acc = acc + coeff[..., None] * win
-    out_ref[0] = acc
+    out_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
+
+    def body(i, carry):
+        iy = i // n
+        ix = i % n
+        wy = _hat(oy, (iy - m).astype(jnp.float32))
+        wx = _hat(ox, (ix - m).astype(jnp.float32))
+        win = hp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :]
+        out_ref[0] += (wy * wx)[..., None] * win
+        return carry
+
+    jax.lax.fori_loop(0, n * n, body, 0)
 
 
 def _bwd_hp_kernel(ct_ref, oy_ref, ox_ref, dhp_ref, *, m: int, Ho: int,
                    Wo: int):
+    n = 2 * m + 2
     oy = oy_ref[0]
     ox = ox_ref[0]
     ct = ct_ref[0]
     dhp_ref[0] = jnp.zeros(dhp_ref.shape[1:], jnp.float32)
-    for dy in range(-m, m + 2):
-        wy = _hat(oy, dy)
-        for dx in range(-m, m + 2):
-            place = (wy * _hat(ox, dx))[..., None] * ct
-            cur = dhp_ref[0, dy + m:dy + m + Ho, dx + m:dx + m + Wo, :]
-            dhp_ref[0, dy + m:dy + m + Ho, dx + m:dx + m + Wo, :] = cur + place
+
+    def body(i, carry):
+        iy = i // n
+        ix = i % n
+        wy = _hat(oy, (iy - m).astype(jnp.float32))
+        wx = _hat(ox, (ix - m).astype(jnp.float32))
+        place = (wy * wx)[..., None] * ct
+        cur = dhp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :]
+        dhp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :] = cur + place
+        return carry
+
+    jax.lax.fori_loop(0, n * n, body, 0)
 
 
 def _bwd_off_kernel(hp_ref, oy_ref, ox_ref, ct_ref, doy_ref, dox_ref, *,
@@ -127,28 +143,26 @@ def _bwd_off_kernel(hp_ref, oy_ref, ox_ref, ct_ref, doy_ref, dox_ref, *,
     oy = oy_ref[0]
     ox = ox_ref[0]
     ct = ct_ref[0]
-    doy = jnp.zeros((Ho, Wo), jnp.float32)
-    dox = jnp.zeros((Ho, Wo), jnp.float32)
-    for dy in range(-m, m + 2):
-        wy = _hat(oy, dy)
-        gy = _dhat(oy, dy)
-        for dx in range(-m, m + 2):
-            wx = _hat(ox, dx)
-            gx = _dhat(ox, dx)
-            win = hp_ref[0, dy + m:dy + m + Ho, dx + m:dx + m + Wo, :]
-            s = jnp.sum(ct * win, axis=-1)
-            doy = doy + gy * wx * s
-            dox = dox + wy * gx * s
 
     @pl.when(c_idx == 0)
     def _init():
-        doy_ref[0] = doy
-        dox_ref[0] = dox
+        doy_ref[0] = jnp.zeros((Ho, Wo), jnp.float32)
+        dox_ref[0] = jnp.zeros((Ho, Wo), jnp.float32)
 
-    @pl.when(c_idx != 0)
-    def _accum():
-        doy_ref[0] += doy
-        dox_ref[0] += dox
+    n = 2 * m + 2
+
+    def body(i, carry):
+        iy = i // n
+        ix = i % n
+        d_y = (iy - m).astype(jnp.float32)
+        d_x = (ix - m).astype(jnp.float32)
+        win = hp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :]
+        s = jnp.sum(ct * win, axis=-1)
+        doy_ref[0] += _dhat(oy, d_y) * _hat(ox, d_x) * s
+        dox_ref[0] += _hat(oy, d_y) * _dhat(ox, d_x) * s
+        return carry
+
+    jax.lax.fori_loop(0, n * n, body, 0)
 
 
 def _ctile(C: int) -> int:
