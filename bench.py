@@ -123,8 +123,14 @@ def bench_retrieval() -> float:
     return batch * iters / dt
 
 
-def bench_grounding(image_size: int = 800, batch: int = 4) -> float:
-    """GLIP-T + LPI fused train step at the reference image size.
+def bench_grounding(image_size: int = 448, batch: int = 4) -> float:
+    """GLIP-T + LPI fused train step at the reference's ACTUAL train size.
+
+    448px: the reference hardcodes `Resize(448, 448, restrict=True)` in
+    `build_transforms` (`data/transforms/build.py:36-41`), overriding the
+    yaml's 800/1333 — every LPI grounding run trains and evals at 448x448
+    (STATUS round 2, item 4). Set LPI_BENCH_GROUNDING_SIZE=800 to measure
+    the config-surface size instead.
 
     Per-chip batch: the reference's IMS_PER_BATCH 16 is a *global* batch
     across its DDP ranks (`tools/finetune.py:507-527`); per chip we use 4 and
@@ -187,9 +193,10 @@ def main():
         import sys
 
         budget = int(os.environ.get("LPI_BENCH_GROUNDING_TIMEOUT", "2400"))
+        size = int(os.environ.get("LPI_BENCH_GROUNDING_SIZE", "448"))
         code = ("import sys; sys.path.insert(0, %r); import bench; "
-                "print('GROUNDING_SPS', bench.bench_grounding())"
-                % os.path.dirname(os.path.abspath(__file__)))
+                "print('GROUNDING_SPS', bench.bench_grounding(%d))"
+                % (os.path.dirname(os.path.abspath(__file__)), size))
         try:
             proc = subprocess.run([sys.executable, "-c", code], timeout=budget,
                                   capture_output=True, text=True)
