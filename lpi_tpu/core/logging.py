@@ -64,13 +64,28 @@ class SmoothedValue:
 
 
 class MetricLogger:
-    """Step metrics + ETA + jsonl stream."""
+    """Step metrics + ETA + jsonl stream (+ optional TensorBoard).
 
-    def __init__(self, jsonl_path: Optional[str] = None, delimiter: str = "  "):
+    `tensorboard_dir` mirrors the reference's TensorboardLogger
+    (`utils/metric_logger.py:94`): every update also lands as TB scalars.
+    Uses torch's bundled SummaryWriter; silently disabled if unavailable.
+    """
+
+    def __init__(self, jsonl_path: Optional[str] = None, delimiter: str = "  ",
+                 tensorboard_dir: Optional[str] = None):
         self.meters = collections.defaultdict(SmoothedValue)
         self.delimiter = delimiter
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
         self._start = time.time()
+        self._tb = None
+        self._tb_step = 0
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=tensorboard_dir)
+            except Exception:  # torch or tb missing: jsonl still works
+                self._tb = None
 
     def update(self, **kwargs):
         for k, v in kwargs.items():
@@ -80,6 +95,10 @@ class MetricLogger:
             rec["time"] = time.time()
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
+        if self._tb is not None:
+            self._tb_step += 1
+            for k, v in kwargs.items():
+                self._tb.add_scalar(k, float(v), self._tb_step)
 
     def log_line(self, step: int, total_steps: int, prefix: str = "") -> str:
         elapsed = time.time() - self._start
@@ -93,6 +112,8 @@ class MetricLogger:
     def close(self):
         if self._jsonl is not None:
             self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def save_results_json(results: dict, output_dir: str, stem: Optional[str] = None) -> str:

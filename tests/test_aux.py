@@ -96,3 +96,32 @@ class TestDist:
         assert get_world_size() == 1
         assert all_gather_objects({"a": 1}) == [{"a": 1}]
         assert reduce_dict({"x": 2.0}) == {"x": 2.0}
+
+
+class TestTensorboardLogger:
+    def test_tb_scalars_written(self, tmp_path):
+        from lpi_tpu.core.logging import MetricLogger
+
+        ml = MetricLogger(tensorboard_dir=str(tmp_path / "tb"))
+        ml.update(loss=1.5, lr=0.1)
+        ml.update(loss=1.2, lr=0.1)
+        ml.close()
+        files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+        assert files and files[0].stat().st_size > 0
+
+    def test_missing_tb_degrades_gracefully(self, tmp_path, monkeypatch):
+        import builtins
+
+        real_import = builtins.__import__
+
+        def broken(name, *a, **k):
+            if name.startswith("torch.utils.tensorboard"):
+                raise ImportError(name)
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", broken)
+        from lpi_tpu.core.logging import MetricLogger
+
+        ml = MetricLogger(tensorboard_dir=str(tmp_path / "tb2"))
+        ml.update(loss=1.0)
+        ml.close()
