@@ -116,50 +116,35 @@ def _fwd_kernel(hp_ref, oy_ref, ox_ref, out_ref, *, m: int, Ho: int, Wo: int):
     jax.lax.fori_loop(0, n * n, body, 0)
 
 
-def _bwd_hp_kernel(ct_ref, oy_ref, ox_ref, dhp_ref, *, m: int, Ho: int,
-                   Wo: int):
+def _bwd_kernel(hp_ref, oy_ref, ox_ref, ct_ref, dhp_ref, doy_ref, dox_ref, *,
+                m: int, Ho: int, Wo: int):
+    """One pass for all three cotangents: dhp placement + offset grads share
+    the displacement loop and one read of hp/ct per block."""
+    c_idx = pl.program_id(1)
     n = 2 * m + 2
     oy = oy_ref[0]
     ox = ox_ref[0]
     ct = ct_ref[0]
     dhp_ref[0] = jnp.zeros(dhp_ref.shape[1:], jnp.float32)
 
-    def body(i, carry):
-        iy = i // n
-        ix = i % n
-        wy = _hat(oy, (iy - m).astype(jnp.float32))
-        wx = _hat(ox, (ix - m).astype(jnp.float32))
-        place = (wy * wx)[..., None] * ct
-        cur = dhp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :]
-        dhp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :] = cur + place
-        return carry
-
-    jax.lax.fori_loop(0, n * n, body, 0)
-
-
-def _bwd_off_kernel(hp_ref, oy_ref, ox_ref, ct_ref, doy_ref, dox_ref, *,
-                    m: int, Ho: int, Wo: int):
-    c_idx = pl.program_id(1)
-    oy = oy_ref[0]
-    ox = ox_ref[0]
-    ct = ct_ref[0]
-
     @pl.when(c_idx == 0)
     def _init():
         doy_ref[0] = jnp.zeros((Ho, Wo), jnp.float32)
         dox_ref[0] = jnp.zeros((Ho, Wo), jnp.float32)
-
-    n = 2 * m + 2
 
     def body(i, carry):
         iy = i // n
         ix = i % n
         d_y = (iy - m).astype(jnp.float32)
         d_x = (ix - m).astype(jnp.float32)
+        wy = _hat(oy, d_y)
+        wx = _hat(ox, d_x)
+        cur = dhp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :]
+        dhp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :] = cur + (wy * wx)[..., None] * ct
         win = hp_ref[0, pl.ds(iy, Ho), pl.ds(ix, Wo), :]
         s = jnp.sum(ct * win, axis=-1)
-        doy_ref[0] += _dhat(oy, d_y) * _hat(ox, d_x) * s
-        dox_ref[0] += _hat(oy, d_y) * _dhat(ox, d_x) * s
+        doy_ref[0] += _dhat(oy, d_y) * wx * s
+        dox_ref[0] += wy * _dhat(ox, d_x) * s
         return carry
 
     jax.lax.fori_loop(0, n * n, body, 0)
@@ -214,24 +199,8 @@ def _vjp_bwd(m, interpret, res, ct):
     B, Hp, Wp, C = hp.shape
     Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
     tile = _ctile(C)
-    dhp = pl.pallas_call(
-        partial(_bwd_hp_kernel, m=m, Ho=Ho, Wo=Wo),
-        grid=(B, C // tile),
-        in_specs=[
-            pl.BlockSpec((1, Ho, Wo, tile), lambda b, c: (b, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Hp, Wp, tile), lambda b, c: (b, 0, 0, c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), jnp.float32),
-        interpret=interpret,
-    )(ct, oy, ox)
-    doy, dox = pl.pallas_call(
-        partial(_bwd_off_kernel, m=m, Ho=Ho, Wo=Wo),
+    dhp, doy, dox = pl.pallas_call(
+        partial(_bwd_kernel, m=m, Ho=Ho, Wo=Wo),
         grid=(B, C // tile),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tile), lambda b, c: (b, 0, 0, c),
@@ -244,12 +213,15 @@ def _vjp_bwd(m, interpret, res, ct):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            pl.BlockSpec((1, Hp, Wp, tile), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Ho, Wo), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((B, Ho, Wo), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((B, Hp, Wp, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Ho, Wo), jnp.float32),
                    jax.ShapeDtypeStruct((B, Ho, Wo), jnp.float32)],
         interpret=interpret,
     )(hp, oy, ox, ct)
