@@ -258,6 +258,22 @@ def deform_conv2d_pallas(
     """
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    if stride == 2:
+        # run the stride-1 kernel at input resolution with nearest-upsampled
+        # offsets, then subsample: out_full[2y, 2x] is exactly the stride-2
+        # output. 4x arithmetic waste but stays on the fast kernel path (the
+        # fast_scan fallback measured ~4x slower per conv than the waste).
+        B, H, W, _ = features.shape
+        Ho = (H + 1) // 2
+        Wo = (W + 1) // 2
+        up = jnp.repeat(jnp.repeat(offsets, 2, axis=1), 2, axis=2)[:, :H, :W]
+        upm = None
+        if mask is not None:
+            upm = jnp.repeat(jnp.repeat(mask, 2, axis=1), 2, axis=2)[:, :H, :W]
+        full = deform_conv2d_pallas(features, up, weights, bias, mask=upm,
+                                    stride=1, max_offset=max_offset,
+                                    interpret=interpret)
+        return full[:, ::2, ::2]
     if stride != 1:
         return deform_conv2d_fast_scan(features, offsets, weights, bias,
                                        mask=mask, stride=stride,

@@ -108,3 +108,19 @@ class TestDeformConvPallas:
         for a, b, name in zip(ga, gb, ("dfeat", "doff")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=1e-3, err_msg=name)
+
+    def test_stride2_matches_fast(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_pallas)
+
+        feat = rng.randn(1, 8, 8, 8).astype(np.float32)
+        w = rng.randn(3, 3, 8, 8).astype(np.float32)
+        offsets = ((rng.rand(1, 4, 4, 18) * 2 - 1) * 1.5).astype(np.float32)
+        mask = rng.randn(1, 4, 4, 9).astype(np.float32)
+        a = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            mask=jnp.asarray(mask), stride=2, max_offset=2))
+        b = np.asarray(deform_conv2d_pallas(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            mask=jnp.asarray(mask), stride=2, max_offset=2, interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
