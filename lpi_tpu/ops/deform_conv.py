@@ -278,34 +278,27 @@ def deform_conv2d_pallas(
         return deform_conv2d_fast_scan(features, offsets, weights, bias,
                                        mask=mask, stride=stride,
                                        max_offset=max_offset)
-    from lpi_tpu.ops.deform_window_kernel import window_accumulate
+    from lpi_tpu.ops.deform_window_kernel import window_accumulate_taps
 
     B, H, W, C = features.shape
     kh, kw, _, Cout = weights.shape
     K = kh * kw
-    pad_h = (kh - 1) // 2
-    pad_w = (kw - 1) // 2
     m = max_offset
     off = jnp.clip(offsets.reshape(B, H, W, K, 2).astype(jnp.float32), -m, m)
-    gate = jax.nn.sigmoid(mask.astype(jnp.float32)) if mask is not None else None
-    w = weights.reshape(K, C, Cout)
+    gate = (jax.nn.sigmoid(mask.astype(jnp.float32)) if mask is not None
+            else jnp.ones((B, H, W, K), jnp.float32))
     feats = features.astype(jnp.float32)
 
-    out = jnp.zeros((B, H, W, Cout), jnp.float32)
-    for k in range(K):
-        ky, kx = k // kw - pad_h, k % kw - pad_w
-        h = jnp.einsum("bhwc,co->bhwo", feats, w[k].astype(jnp.float32))
-        # pad so every p + kappa + d (d in [-m, m+1]) is in range, then
-        # slice the tap-aligned window map [B, H+2m+1, W+2m+1, Cout]
-        hp = jnp.pad(h, ((0, 0), (m + 1, m + 2), (m + 1, m + 2), (0, 0)))
-        hp_k = jax.lax.slice(
-            hp, (0, ky + 1, kx + 1, 0),
-            (B, ky + 1 + H + 2 * m + 1, kx + 1 + W + 2 * m + 1, Cout))
-        acc = window_accumulate(hp_k, off[..., k, 0], off[..., k, 1], m,
-                                interpret)
-        if gate is not None:
-            acc = acc * gate[..., k, None]
-        out = out + acc
+    # ONE tap-major matmul [B*H*W, C] x [C, K*Cout] on the MXU, padded once;
+    # the kernel handles all taps + displacements in a single dispatch
+    w_all = weights.astype(jnp.float32).reshape(K, C, Cout)
+    w_all = jnp.moveaxis(w_all, 0, 1).reshape(C, K * Cout)
+    h_all = jnp.einsum("bhwc,cf->bhwf", feats, w_all)
+    hp_all = jnp.pad(h_all, ((0, 0), (m + 1, m + 2), (m + 1, m + 2), (0, 0)))
+    oy = jnp.moveaxis(off[..., 0], 3, 1)  # [B, K, H, W]
+    ox = jnp.moveaxis(off[..., 1], 3, 1)
+    gk = jnp.moveaxis(gate, 3, 1)
+    out = window_accumulate_taps(hp_all, oy, ox, gk, m, K, kw, interpret)
     if bias is not None:
         out = out + bias
     return out.astype(features.dtype)

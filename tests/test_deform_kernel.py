@@ -124,3 +124,54 @@ class TestDeformConvPallas:
             jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
             mask=jnp.asarray(mask), stride=2, max_offset=2, interpret=True))
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+class TestWindowAccumulateTaps:
+    """Stacked-tap kernel vs per-tap reference semantics."""
+
+    def test_fwd_matches_reference(self, rng):
+        from lpi_tpu.ops.deform_window_kernel import (
+            window_accumulate_taps, window_accumulate_taps_reference)
+
+        B, Ho, Wo, Cout, K, kw, m = 2, 5, 5, 8, 9, 3, 2
+        hp = rng.randn(B, Ho + 2 * m + kw, Wo + 2 * m + kw,
+                       K * Cout).astype(np.float32)
+        oy = ((rng.rand(B, K, Ho, Wo) * 2 - 1) * m).astype(np.float32)
+        ox = ((rng.rand(B, K, Ho, Wo) * 2 - 1) * m).astype(np.float32)
+        g = rng.rand(B, K, Ho, Wo).astype(np.float32)
+        got = window_accumulate_taps(jnp.asarray(hp), jnp.asarray(oy),
+                                     jnp.asarray(ox), jnp.asarray(g),
+                                     m, K, kw, True)
+        want = window_accumulate_taps_reference(
+            jnp.asarray(hp), jnp.asarray(oy), jnp.asarray(ox),
+            jnp.asarray(g), m, K, kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_reference(self, rng):
+        from lpi_tpu.ops.deform_window_kernel import (
+            window_accumulate_taps, window_accumulate_taps_reference)
+
+        B, Ho, Wo, Cout, K, kw, m = 1, 4, 4, 8, 4, 2, 1
+        hp = jnp.asarray(rng.randn(B, Ho + 2 * m + kw, Wo + 2 * m + kw,
+                                   K * Cout).astype(np.float32))
+        oy = jnp.asarray(((rng.rand(B, K, Ho, Wo) * 2 - 1) * m)
+                         .astype(np.float32))
+        ox = jnp.asarray(((rng.rand(B, K, Ho, Wo) * 2 - 1) * m)
+                         .astype(np.float32))
+        g = jnp.asarray(rng.rand(B, K, Ho, Wo).astype(np.float32))
+        seed = jnp.asarray(rng.randn(B, Ho, Wo, Cout).astype(np.float32))
+
+        def lk(h, y, x, gg):
+            return jnp.sum(window_accumulate_taps(h, y, x, gg, m, K, kw,
+                                                  True) * seed)
+
+        def lr(h, y, x, gg):
+            return jnp.sum(window_accumulate_taps_reference(
+                h, y, x, gg, m, K, kw) * seed)
+
+        gk = jax.grad(lk, argnums=(0, 1, 2, 3))(hp, oy, ox, g)
+        gr = jax.grad(lr, argnums=(0, 1, 2, 3))(hp, oy, ox, g)
+        for a, b, name in zip(gk, gr, ("dhp", "doy", "dox", "dg")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4, err_msg=name)
