@@ -89,14 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     ed = sub.add_parser(
         "eval-detection",
-        help="score a predictions json against GT (coco / lvis / flickr protocols)")
+        help="score a predictions json against GT (coco / lvis / flickr / voc protocols)")
     ed.add_argument("predictions", help="json: list of per-image records "
                     "{image_id, boxes, scores, labels} (per-phrase for flickr)")
     ed.add_argument("--gt", required=True,
                     help="COCO/LVIS-format annotation json (flickr: per-phrase "
                     "gt boxes live inside the predictions records)")
     ed.add_argument("--protocol", default="coco",
-                    choices=["coco", "lvis", "flickr"])
+                    choices=["coco", "lvis", "flickr", "voc"])
     ed.add_argument("--max-dets", type=int, default=None)
     ed.add_argument("--merge-boxes", action="store_true",
                     help="flickr: merge multi-box phrases (GLIP protocol)")
@@ -443,6 +443,22 @@ def cmd_eval_detection(args) -> dict:
                       pos_cats=(pos or []) if federated else None,
                       neg_cats=(neg or []) if federated else None)
         res = ev.summarize()
+    elif args.protocol == "voc":
+        from lpi_tpu.eval.voc import eval_detection_voc
+
+        dets, gts_l = [], []
+        for rec in preds:
+            boxes, labels = gt_record(rec["image_id"])
+            diff = [a.get("difficult", 0)
+                    for a in anns_by_img.get(rec["image_id"], [])]
+            dets.append({"boxes": rec["boxes"], "scores": rec["scores"],
+                         "labels": rec["labels"]})
+            gts_l.append({"boxes": boxes, "labels": labels,
+                          "difficult": diff})
+        out = eval_detection_voc(gts_l, dets)
+        res = {"map": out["map"],
+               "ap": {i: float(v) for i, v in enumerate(out["ap"])
+                      if v == v}}
     else:
         from lpi_tpu.eval.coco_ap import evaluate_detections
 

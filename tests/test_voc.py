@@ -72,3 +72,21 @@ class TestAP:
         res = eval_detection_voc(gts, preds, use_07_metric=False)
         assert np.isnan(res["ap"][0]) and np.isnan(res["ap"][1])
         assert res["map"] == pytest.approx(1.0)  # nanmean skips absent classes
+
+
+class TestCli:
+    def test_eval_detection_voc(self, tmp_path, capsys):
+        import json
+
+        from lpi_tpu.cli.main import main
+
+        gt = {"images": [{"id": 1}], "categories": [{"id": 1, "name": "c"}],
+              "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                               "bbox": [0, 0, 10, 10]}]}
+        preds = [{"image_id": 1, "boxes": [[0, 0, 10, 10]], "scores": [0.9],
+                  "labels": [1]}]
+        (tmp_path / "gt.json").write_text(json.dumps(gt))
+        (tmp_path / "p.json").write_text(json.dumps(preds))
+        res = main(["eval-detection", str(tmp_path / "p.json"),
+                    "--gt", str(tmp_path / "gt.json"), "--protocol", "voc"])
+        assert res["map"] == pytest.approx(1.0)
