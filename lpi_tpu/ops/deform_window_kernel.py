@@ -293,7 +293,7 @@ def _fwd_taps_impl(hp_all, oy, ox, gate, m, K, kw, interpret):
     Cout = KC // K
     Ho = Hp - 2 * m - kw
     Wo = Wp - 2 * m - kw
-    tile = _ctile(Cout)
+    tile = _ctile(Cout, Hp * Wp, Ho * Wo)
     Cq = Cout // tile
 
     def hp_map(b, k, c):
@@ -326,7 +326,7 @@ def _vjp_taps_bwd(m, K, kw, interpret, res, ct):
     Cout = KC // K
     Ho = Hp - 2 * m - kw
     Wo = Wp - 2 * m - kw
-    tile = _ctile(Cout)
+    tile = _ctile(Cout, 2 * Hp * Wp, Ho * Wo)  # bwd reads hp AND writes dhp
     Cq = Cout // tile
 
     def hp_map(b, k, c):
@@ -359,8 +359,19 @@ def _vjp_taps_bwd(m, K, kw, interpret, res, ct):
 window_accumulate_taps.defvjp(_vjp_taps_fwd, _vjp_taps_bwd)
 
 
-def _ctile(C: int) -> int:
+def _ctile(C: int, hp_elems: int = 0, out_elems: int = 0) -> int:
+    """Largest channel tile whose VMEM working set fits.
+
+    Model: fp32 hp block + out block, x2 for Mosaic's cross-step double
+    buffering, against a ~12 MB budget (16 MB/core minus kernel scratch).
+    At 448px P3 this picks 128; at 800px P3 it steps down to 64 (measured:
+    128 there overflows scoped vmem at 22.1 MB)."""
+    budget = 12 * 1024 * 1024
+    per_ch = 4 * 2 * (hp_elems + out_elems)
     for t in (128, 64, 32, 16, 8):
+        if C % t == 0 and (per_ch == 0 or per_ch * t <= budget):
+            return t
+    for t in (64, 32, 16, 8):
         if C % t == 0:
             return t
     return C
@@ -380,7 +391,7 @@ def window_accumulate(hp: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
 def _fwd_impl(hp, oy, ox, m, interpret):
     B, Hp, Wp, C = hp.shape
     Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
-    ct = _ctile(C)
+    ct = _ctile(C, Hp * Wp, Ho * Wo)
     return pl.pallas_call(
         partial(_fwd_kernel, m=m, Ho=Ho, Wo=Wo),
         grid=(B, C // ct),
@@ -407,7 +418,7 @@ def _vjp_bwd(m, interpret, res, ct):
     hp, oy, ox = res
     B, Hp, Wp, C = hp.shape
     Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
-    tile = _ctile(C)
+    tile = _ctile(C, 2 * Hp * Wp, Ho * Wo)
     dhp, doy, dox = pl.pallas_call(
         partial(_bwd_kernel, m=m, Ho=Ho, Wo=Wo),
         grid=(B, C // tile),
