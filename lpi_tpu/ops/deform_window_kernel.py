@@ -304,6 +304,8 @@ def _fwd_taps_impl(hp_all, oy, ox, gate, m, K, kw, interpret):
     return pl.pallas_call(
         partial(_fwd_taps_kernel, m=m, Ho=Ho, Wo=Wo, kw=kw),
         grid=(B, K, Cq),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tile, Hp * Wp, Ho * Wo)),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tile), hp_map, memory_space=pltpu.VMEM),
             off_spec, off_spec, off_spec,
@@ -337,6 +339,8 @@ def _vjp_taps_bwd(m, K, kw, interpret, res, ct):
     dhp, doy, dox, dg = pl.pallas_call(
         partial(_bwd_taps_kernel, m=m, Ho=Ho, Wo=Wo, kw=kw),
         grid=(B, K, Cq),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tile, 2 * Hp * Wp, 2 * Ho * Wo)),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tile), hp_map, memory_space=pltpu.VMEM),
             off_spec, off_spec, off_spec,
@@ -360,21 +364,21 @@ window_accumulate_taps.defvjp(_vjp_taps_fwd, _vjp_taps_bwd)
 
 
 def _ctile(C: int, hp_elems: int = 0, out_elems: int = 0) -> int:
-    """Largest channel tile whose VMEM working set fits.
+    """Channel tile: Mosaic requires the lane-dim block to be a multiple of
+    128 or the full dimension; VMEM pressure is handled by `_vmem_limit`,
+    not by shrinking the tile."""
+    return 128 if C % 128 == 0 else C
 
-    Model: fp32 hp block + out block, x2 for Mosaic's cross-step double
-    buffering, against a ~12 MB budget (16 MB/core minus kernel scratch).
-    At 448px P3 this picks 128; at 800px P3 it steps down to 64 (measured:
-    128 there overflows scoped vmem at 22.1 MB)."""
-    budget = 12 * 1024 * 1024
-    per_ch = 4 * 2 * (hp_elems + out_elems)
-    for t in (128, 64, 32, 16, 8):
-        if C % t == 0 and (per_ch == 0 or per_ch * t <= budget):
-            return t
-    for t in (64, 32, 16, 8):
-        if C % t == 0:
-            return t
-    return C
+
+def _vmem_limit(tile: int, *elem_counts: int) -> int:
+    """Scoped-vmem budget for a kernel whose live fp32 blocks have the given
+    per-channel element counts: x2 for cross-step double buffering, +25%
+    scratch slack, floored at the 16 MB default and capped under v5e's
+    physical 128 MiB. (At 800px P3 the default 16 MB limit rejects the
+    22 MB working set — measured; raising the limit is the supported path,
+    shrinking the lane tile below 128 is not.)"""
+    need = int(4 * tile * 2 * sum(elem_counts) * 1.25)
+    return max(16 * 1024 * 1024, min(need, 100 * 1024 * 1024))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -395,6 +399,8 @@ def _fwd_impl(hp, oy, ox, m, interpret):
     return pl.pallas_call(
         partial(_fwd_kernel, m=m, Ho=Ho, Wo=Wo),
         grid=(B, C // ct),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(ct, Hp * Wp, Ho * Wo)),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, ct), lambda b, c: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
@@ -422,6 +428,8 @@ def _vjp_bwd(m, interpret, res, ct):
     dhp, doy, dox = pl.pallas_call(
         partial(_bwd_kernel, m=m, Ho=Ho, Wo=Wo),
         grid=(B, C // tile),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tile, 2 * Hp * Wp, 2 * Ho * Wo)),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tile), lambda b, c: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
