@@ -16,6 +16,14 @@ Grid is over the batch; P and D are zero-padded to the (8, 128) fp32 tile.
 Falls back to plain jnp (`compose_inject_reference`) off-TPU; the public
 entry `fused_compose_inject` picks automatically, and `interpret=True` is
 used in CPU tests.
+
+DECISION (round 2, measured on v5e): at the flagship retrieval shapes
+(x [64, 213, 768], rank-4 factors, 9 injections) the kernel and the plain
+XLA expression are equal within noise — 989 us vs 1015 us per 9-injection
+chain, ~1% of the 104 ms train step either way. XLA already fuses the CP
+compose into the injection add, so the model path keeps the jnp expression
+(`prompts/pools.py`); this kernel stays as the golden-tested alternative
+for shapes where the prompt materialization ever dominates.
 """
 
 from __future__ import annotations
