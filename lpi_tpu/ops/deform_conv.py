@@ -290,15 +290,24 @@ def deform_conv2d_pallas(
     feats = features.astype(jnp.float32)
 
     # ONE tap-major matmul [B*H*W, C] x [C, K*Cout] on the MXU, padded once;
-    # the kernel handles all taps + displacements in a single dispatch
-    w_all = weights.astype(jnp.float32).reshape(K, C, Cout)
-    w_all = jnp.moveaxis(w_all, 0, 1).reshape(C, K * Cout)
-    h_all = jnp.einsum("bhwc,cf->bhwf", feats, w_all)
-    hp_all = jnp.pad(h_all, ((0, 0), (m + 1, m + 2), (m + 1, m + 2), (0, 0)))
-    oy = jnp.moveaxis(off[..., 0], 3, 1)  # [B, K, H, W]
-    ox = jnp.moveaxis(off[..., 1], 3, 1)
-    gk = jnp.moveaxis(gate, 3, 1)
-    out = window_accumulate_taps(hp_all, oy, ox, gk, m, K, kw, interpret)
+    # the kernel handles all taps + displacements in a single dispatch.
+    # jax.checkpoint: without it the [B,Hp,Wp,K*Cout] product map is saved
+    # as a backward residual for EVERY conv (~585 MB each at 448px/b16 ->
+    # 21.4 GB total, HBM OOM on the 16 GB chip); remat re-runs the cheap
+    # matmul + fwd kernel during backward instead.
+    @jax.checkpoint
+    def core(feats, weights, off, gate):
+        w_all = weights.astype(jnp.float32).reshape(K, C, Cout)
+        w_all = jnp.moveaxis(w_all, 0, 1).reshape(C, K * Cout)
+        h_all = jnp.einsum("bhwc,cf->bhwf", feats, w_all)
+        hp_all = jnp.pad(h_all,
+                         ((0, 0), (m + 1, m + 2), (m + 1, m + 2), (0, 0)))
+        oy = jnp.moveaxis(off[..., 0], 3, 1)  # [B, K, H, W]
+        ox = jnp.moveaxis(off[..., 1], 3, 1)
+        gk = jnp.moveaxis(gate, 3, 1)
+        return window_accumulate_taps(hp_all, oy, ox, gk, m, K, kw, interpret)
+
+    out = core(feats, weights, off, gate)
     if bias is not None:
         out = out + bias
     return out.astype(features.dtype)
