@@ -35,6 +35,7 @@ from flax import linen as nn
 from lpi_tpu.core.config import DyHeadConfig
 from lpi_tpu.ops.deform_conv import (deform_conv2d, deform_conv2d_fast,
                                      deform_conv2d_fast_scan,
+                                     deform_conv2d_fused,
                                      deform_conv2d_pallas)
 
 
@@ -73,6 +74,10 @@ class Conv3x3Norm(nn.Module):
                 y = deform_conv2d_pallas(x, offset, w, b, mask=mask,
                                          stride=self.stride,
                                          max_offset=self.deform_window)
+            elif self.deform_impl == "fused":
+                y = deform_conv2d_fused(x, offset, w, b, mask=mask,
+                                        stride=self.stride,
+                                        max_offset=self.deform_window)
             else:
                 y = deform_conv2d(x, offset, w, b, mask=mask, stride=self.stride)
         else:

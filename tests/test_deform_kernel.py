@@ -175,3 +175,64 @@ class TestWindowAccumulateTaps:
         for a, b, name in zip(gk, gr, ("dhp", "doy", "dox", "dg")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+class TestFusedDeform:
+    """Sample-first fused kernel vs the fast path (fwd + all grads)."""
+
+    def test_matches_fast(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_fused)
+
+        feat = rng.randn(2, 10, 10, 8).astype(np.float32)
+        w = rng.randn(3, 3, 8, 8).astype(np.float32)
+        offsets = ((rng.rand(2, 10, 10, 18) * 2 - 1) * 2.5).astype(np.float32)
+        mask = rng.randn(2, 10, 10, 9).astype(np.float32)
+        bias = rng.randn(8).astype(np.float32)
+        a = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            bias=jnp.asarray(bias), mask=jnp.asarray(mask), max_offset=2))
+        b = np.asarray(deform_conv2d_fused(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            bias=jnp.asarray(bias), mask=jnp.asarray(mask), max_offset=2,
+            interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_all_grads_match_fast(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_fused)
+
+        feat = jnp.asarray(rng.randn(1, 6, 6, 8).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32))
+        off = jnp.asarray(((rng.rand(1, 6, 6, 18) * 2 - 1) * 1.5)
+                          .astype(np.float32))
+        mask = jnp.asarray(rng.randn(1, 6, 6, 9).astype(np.float32))
+
+        def loss(fn, interp):
+            def f(fe, o, ww, mk):
+                kw = dict(max_offset=2)
+                if interp is not None:
+                    kw["interpret"] = interp
+                return jnp.sum(fn(fe, o, ww, mask=mk, **kw) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2, 3))(feat, off, w, mask)
+
+        ga = loss(deform_conv2d_fast, None)
+        gb = loss(deform_conv2d_fused, True)
+        for a, b, name in zip(ga, gb, ("dfeat", "doff", "dw", "dmask")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3, err_msg=name)
+
+    def test_stride2(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_fused)
+
+        feat = rng.randn(1, 8, 8, 8).astype(np.float32)
+        w = rng.randn(3, 3, 8, 8).astype(np.float32)
+        offsets = np.full((1, 4, 4, 18), 0.4, np.float32)
+        a = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            stride=2, max_offset=2))
+        b = np.asarray(deform_conv2d_fused(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            stride=2, max_offset=2, interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
