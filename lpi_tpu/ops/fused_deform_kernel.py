@@ -61,7 +61,7 @@ def fused_deform_reference(fp: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
 def _sample_tap(fp_ref, oy, ox, g, samp_ref, *, m, Ho, Wo, ky, kx):
     """Culled hat-windowed sampling of one tap into a VMEM scratch."""
     n = 2 * m + 2
-    samp_ref[...] = jnp.zeros(samp_ref.shape, jnp.float32)
+    samp_ref[0] = jnp.zeros(samp_ref.shape[1:], jnp.float32)
     oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
     ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
 
@@ -77,7 +77,7 @@ def _sample_tap(fp_ref, oy, ox, g, samp_ref, *, m, Ho, Wo, ky, kx):
         def _do():
             coeff = g * _hat(oy, d_y) * _hat(ox, d_x)
             win = fp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :]
-            samp_ref[...] += coeff[..., None] * win
+            samp_ref[0] += coeff[..., None] * win
 
         return carry
 
@@ -92,7 +92,7 @@ def _fused_fwd_kernel(fp_ref, oy_ref, ox_ref, g_ref, w_ref, out_ref,
     for k in range(K):  # static unroll: each body is one fori + one dot
         _sample_tap(fp_ref, oy_ref[0, k], ox_ref[0, k], g_ref[0, k],
                     samp_ref, m=m, Ho=Ho, Wo=Wo, ky=k // kw, kx=k % kw)
-        prod = jnp.dot(samp_ref[...].reshape(Ho * Wo, C), w_ref[k],
+        prod = jnp.dot(samp_ref[0].reshape(Ho * Wo, C), w_ref[k],
                        preferred_element_type=jnp.float32)
         out_ref[0] += prod.reshape(Ho, Wo, -1)
 
@@ -118,13 +118,13 @@ def _fused_bwd_kernel(fp_ref, oy_ref, ox_ref, g_ref, w_ref, ct_ref,
         ox = ox_ref[0, k]
         g = g_ref[0, k]
         # u_k = ct @ W_k^T : the tap cotangent in feature space (MXU)
-        u_ref[...] = jnp.dot(
+        u_ref[0] = jnp.dot(
             ct.reshape(Ho * Wo, Cout), w_ref[k].T,
             preferred_element_type=jnp.float32).reshape(Ho, Wo, C)
         # recompute sampled_k for dW (culled, cheap)
         _sample_tap(fp_ref, oy, ox, g, samp_ref, m=m, Ho=Ho, Wo=Wo,
                     ky=ky, kx=kx)
-        dw_ref[k] += jnp.dot(samp_ref[...].reshape(Ho * Wo, C).T,
+        dw_ref[k] += jnp.dot(samp_ref[0].reshape(Ho * Wo, C).T,
                              ct.reshape(Ho * Wo, Cout),
                              preferred_element_type=jnp.float32)
 
@@ -146,7 +146,7 @@ def _fused_bwd_kernel(fp_ref, oy_ref, ox_ref, g_ref, w_ref, ct_ref,
             def _do():
                 wy = _hat(oy, d_y)
                 wx = _hat(ox, d_x)
-                u = u_ref[...]
+                u = u_ref[0]
                 cur = dfp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :]
                 dfp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :] = \
                     cur + (g * wy * wx)[..., None] * u
@@ -194,7 +194,7 @@ def _fused_fwd(fp, oy, ox, gate, w, m, kw, interpret):
         out_specs=pl.BlockSpec((1, Ho, Wo, Cout), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((Ho, Wo, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, Ho, Wo, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_limit(mb)),
         interpret=interpret,
     )(fp, oy, ox, gate, w)
@@ -237,8 +237,8 @@ def _fused_vjp_bwd(m, kw, interpret, res, ct):
                    jax.ShapeDtypeStruct((B, K, Ho, Wo), jnp.float32),
                    jax.ShapeDtypeStruct((B, K, Ho, Wo), jnp.float32),
                    jax.ShapeDtypeStruct((K, C, Cout), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((Ho, Wo, C), jnp.float32),
-                        pltpu.VMEM((Ho, Wo, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, Ho, Wo, C), jnp.float32),
+                        pltpu.VMEM((1, Ho, Wo, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_limit(mb)),
         interpret=interpret,
     )(fp, oy, ox, gate, w, ct)
