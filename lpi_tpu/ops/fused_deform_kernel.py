@@ -87,12 +87,20 @@ def _sample_tap(fp_ref, oy, ox, g, samp_ref, *, m, Ho, Wo, ky, kx):
 def _fused_fwd_kernel(fp_ref, oy_ref, ox_ref, g_ref, w_ref, out_ref,
                       samp_ref, *, m: int, Ho: int, Wo: int, K: int,
                       kw: int):
-    out_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
-    C = fp_ref.shape[-1]
+    # grid (B, C//tile): each step samples a 128-channel feature tile
+    # (Mosaic only lowers dynamic sublane slices at lane width 128) and
+    # contributes its partial contraction to the full-Cout output
+    c_idx = pl.program_id(1)
+    ct_w = fp_ref.shape[-1]
+
+    @pl.when(c_idx == 0)
+    def _init():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
+
     for k in range(K):  # static unroll: each body is one fori + one dot
         _sample_tap(fp_ref, oy_ref[0, k], ox_ref[0, k], g_ref[0, k],
                     samp_ref, m=m, Ho=Ho, Wo=Wo, ky=k // kw, kx=k % kw)
-        prod = jnp.dot(samp_ref[0].reshape(Ho * Wo, C), w_ref[k],
+        prod = jnp.dot(samp_ref[0].reshape(Ho * Wo, ct_w), w_ref[k],
                        preferred_element_type=jnp.float32)
         out_ref[0] += prod.reshape(Ho, Wo, -1)
 
@@ -102,8 +110,9 @@ def _fused_bwd_kernel(fp_ref, oy_ref, ox_ref, g_ref, w_ref, ct_ref,
                       samp_ref, u_ref, *, m: int, Ho: int, Wo: int,
                       K: int, kw: int):
     b = pl.program_id(0)
+    c_idx = pl.program_id(1)
     n = 2 * m + 2
-    C = fp_ref.shape[-1]
+    ct_w = fp_ref.shape[-1]
     Cout = w_ref.shape[-1]
     ct = ct_ref[0]
     dfp_ref[0] = jnp.zeros(dfp_ref.shape[1:], jnp.float32)
@@ -117,22 +126,25 @@ def _fused_bwd_kernel(fp_ref, oy_ref, ox_ref, g_ref, w_ref, ct_ref,
         oy = oy_ref[0, k]
         ox = ox_ref[0, k]
         g = g_ref[0, k]
-        # u_k = ct @ W_k^T : the tap cotangent in feature space (MXU)
+        # u_k = ct @ W_k[tile]^T : tap cotangent in this feature tile (MXU)
         u_ref[0] = jnp.dot(
             ct.reshape(Ho * Wo, Cout), w_ref[k].T,
-            preferred_element_type=jnp.float32).reshape(Ho, Wo, C)
+            preferred_element_type=jnp.float32).reshape(Ho, Wo, ct_w)
         # recompute sampled_k for dW (culled, cheap)
         _sample_tap(fp_ref, oy, ox, g, samp_ref, m=m, Ho=Ho, Wo=Wo,
                     ky=ky, kx=kx)
-        dw_ref[k] += jnp.dot(samp_ref[0].reshape(Ho * Wo, C).T,
+        dw_ref[k] += jnp.dot(samp_ref[0].reshape(Ho * Wo, ct_w).T,
                              ct.reshape(Ho * Wo, Cout),
                              preferred_element_type=jnp.float32)
 
         oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
         ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
-        doy_ref[0, k] = jnp.zeros((Ho, Wo), jnp.float32)
-        dox_ref[0, k] = jnp.zeros((Ho, Wo), jnp.float32)
-        dg_ref[0, k] = jnp.zeros((Ho, Wo), jnp.float32)
+
+        @pl.when(c_idx == 0)
+        def _init_off():
+            doy_ref[0, k] = jnp.zeros((Ho, Wo), jnp.float32)
+            dox_ref[0, k] = jnp.zeros((Ho, Wo), jnp.float32)
+            dg_ref[0, k] = jnp.zeros((Ho, Wo), jnp.float32)
 
         def body(i, carry):
             iy = i // n
@@ -173,28 +185,33 @@ def fused_deform(fp: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
     return _fused_fwd(fp, oy, ox, gate, w, m, kw, interpret)
 
 
+def _ftile(C: int) -> int:
+    return 128 if C % 128 == 0 else C
+
+
 def _fused_fwd(fp, oy, ox, gate, w, m, kw, interpret):
     B, Hp, Wp, C = fp.shape
     K, _, Cout = w.shape
     Ho = Hp - 2 * m - kw
     Wo = Wp - 2 * m - kw
-    off_spec = pl.BlockSpec((1, K, Ho, Wo), lambda b: (b, 0, 0, 0),
+    t = _ftile(C)
+    off_spec = pl.BlockSpec((1, K, Ho, Wo), lambda b, c: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    mb = 4e-6 * (Hp * Wp * C + Ho * Wo * (Cout + C) + K * C * Cout) * 2.5
+    mb = 4e-6 * (Hp * Wp * t + Ho * Wo * (Cout + t) + K * t * Cout) * 2.5
     return pl.pallas_call(
         partial(_fused_fwd_kernel, m=m, Ho=Ho, Wo=Wo, K=K, kw=kw),
-        grid=(B,),
+        grid=(B, C // t),
         in_specs=[
-            pl.BlockSpec((1, Hp, Wp, C), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, Hp, Wp, t), lambda b, c: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
             off_spec, off_spec, off_spec,
-            pl.BlockSpec((K, C, Cout), lambda b: (0, 0, 0),
+            pl.BlockSpec((K, t, Cout), lambda b, c: (0, c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Ho, Wo, Cout), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, Ho, Wo, Cout), lambda b, c: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, Ho, Wo, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, Ho, Wo, t), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_limit(mb)),
         interpret=interpret,
     )(fp, oy, ox, gate, w)
@@ -211,24 +228,25 @@ def _fused_vjp_bwd(m, kw, interpret, res, ct):
     K, _, Cout = w.shape
     Ho = Hp - 2 * m - kw
     Wo = Wp - 2 * m - kw
-    off_spec = pl.BlockSpec((1, K, Ho, Wo), lambda b: (b, 0, 0, 0),
+    t = _ftile(C)
+    off_spec = pl.BlockSpec((1, K, Ho, Wo), lambda b, c: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((K, C, Cout), lambda b: (0, 0, 0),
+    w_spec = pl.BlockSpec((K, t, Cout), lambda b, c: (0, c, 0),
                           memory_space=pltpu.VMEM)
-    mb = 4e-6 * (2 * Hp * Wp * C + Ho * Wo * (2 * C + Cout)
-                 + 2 * K * C * Cout) * 2.5
+    mb = 4e-6 * (2 * Hp * Wp * t + Ho * Wo * (2 * t + Cout)
+                 + 2 * K * t * Cout) * 2.5
     dfp, doy, dox, dg, dw = pl.pallas_call(
         partial(_fused_bwd_kernel, m=m, Ho=Ho, Wo=Wo, K=K, kw=kw),
-        grid=(B,),
+        grid=(B, C // t),
         in_specs=[
-            pl.BlockSpec((1, Hp, Wp, C), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, Hp, Wp, t), lambda b, c: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
             off_spec, off_spec, off_spec, w_spec,
-            pl.BlockSpec((1, Ho, Wo, Cout), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, Ho, Wo, Cout), lambda b, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Hp, Wp, C), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, Hp, Wp, t), lambda b, c: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
             off_spec, off_spec, off_spec, w_spec,
         ],
@@ -237,8 +255,8 @@ def _fused_vjp_bwd(m, kw, interpret, res, ct):
                    jax.ShapeDtypeStruct((B, K, Ho, Wo), jnp.float32),
                    jax.ShapeDtypeStruct((B, K, Ho, Wo), jnp.float32),
                    jax.ShapeDtypeStruct((K, C, Cout), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((1, Ho, Wo, C), jnp.float32),
-                        pltpu.VMEM((1, Ho, Wo, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, Ho, Wo, t), jnp.float32),
+                        pltpu.VMEM((1, Ho, Wo, t), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_limit(mb)),
         interpret=interpret,
     )(fp, oy, ox, gate, w, ct)

@@ -236,3 +236,27 @@ class TestFusedDeform:
             jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
             stride=2, max_offset=2, interpret=True))
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_multi_channel_tile(self, rng):
+        """C=256 -> two 128-channel grid tiles (the real DyConv shape)."""
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_fused)
+
+        feat = rng.randn(1, 6, 6, 256).astype(np.float32)
+        w = (rng.randn(3, 3, 256, 8) * 0.05).astype(np.float32)
+        offsets = ((rng.rand(1, 6, 6, 18) * 2 - 1) * 1.5).astype(np.float32)
+        a = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            max_offset=2))
+        b = np.asarray(deform_conv2d_fused(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            max_offset=2, interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)
+        g1 = jax.grad(lambda f: jnp.sum(deform_conv2d_fast(
+            f, jnp.asarray(offsets), jnp.asarray(w), max_offset=2) ** 2))(
+            jnp.asarray(feat))
+        g2 = jax.grad(lambda f: jnp.sum(deform_conv2d_fused(
+            f, jnp.asarray(offsets), jnp.asarray(w), max_offset=2,
+            interpret=True) ** 2))(jnp.asarray(feat))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-2, rtol=1e-2)
