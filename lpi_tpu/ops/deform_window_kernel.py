@@ -305,7 +305,6 @@ def _fwd_taps_impl(hp_all, oy, ox, gate, m, K, kw, interpret):
         partial(_fwd_taps_kernel, m=m, Ho=Ho, Wo=Wo, kw=kw),
         grid=(B, K, Cq),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=_vmem_limit(tile, Hp * Wp, Ho * Wo)),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tile), hp_map, memory_space=pltpu.VMEM),
@@ -341,7 +340,6 @@ def _vjp_taps_bwd(m, K, kw, interpret, res, ct):
         partial(_bwd_taps_kernel, m=m, Ho=Ho, Wo=Wo, kw=kw),
         grid=(B, K, Cq),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=_vmem_limit(tile, 2 * Hp * Wp, 2 * Ho * Wo)),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tile), hp_map, memory_space=pltpu.VMEM),
