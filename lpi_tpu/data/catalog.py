@@ -229,10 +229,12 @@ class DatasetCatalog:
         return self._specs[name]
 
     def build(self, name: str, tokenizer=None, task_id: int = 0,
-              search_path: Optional[List[str]] = None, **loader_kw):
+              search_path: Optional[List[str]] = None, copies: int = 1,
+              **loader_kw):
         """Resolve paths and construct the loader for `name`.
 
         mdetr/coco kinds -> GroundingTaskSet; tsv kind -> TSVDataset.
+        `copies` applies DATASETS.GENERAL_COPY duplication (ODinW fewshot).
         """
         spec = self.get(name)
         if spec.kind == "tsv":
@@ -245,10 +247,13 @@ class DatasetCatalog:
             if spec.img_dir else ""
         if spec.kind == "mdetr":
             from lpi_tpu.data.grounding import load_mdetr_refexp
-            return load_mdetr_refexp(ann, img, task_id=task_id,
-                                     tokenizer=tokenizer, **loader_kw)
-        from lpi_tpu.data.grounding import load_coco_detection
-        return load_coco_detection(ann, img, tokenizer=tokenizer, **loader_kw)
+            ds = load_mdetr_refexp(ann, img, task_id=task_id,
+                                   tokenizer=tokenizer, **loader_kw)
+        else:
+            from lpi_tpu.data.grounding import load_coco_detection
+            ds = load_coco_detection(ann, img, tokenizer=tokenizer,
+                                     **loader_kw)
+        return ds.duplicated(copies) if copies > 1 else ds
 
 
 CATALOG = DatasetCatalog()

@@ -105,6 +105,25 @@ class GroundingTaskSet:
                 idx.append(idx[-1])
             yield self._pack([self.examples[j] for j in idx]), real, idx[:real]
 
+    def duplicated(self, copies: int) -> "GroundingTaskSet":
+        """`DATASETS.GENERAL_COPY` semantics (`duplicate_dataset.py:12-30`):
+        index i maps to example i % len — epoch-size multiplication for
+        tiny few-shot splits (every ODinW yaml sets GENERAL_COPY)."""
+        return GroundingTaskSet(
+            [self.examples[i % len(self.examples)]
+             for i in range(copies * len(self.examples))],
+            self.tokenizer, max_boxes=self.max_boxes,
+            task_index=self.task_index, augment=self.augment)
+
+    @classmethod
+    def concat(cls, sets: Sequence["GroundingTaskSet"]) -> "GroundingTaskSet":
+        """`ConcatDataset` equivalent (`concat_dataset.py`): one task set
+        over the concatenated example lists (first set's tokenizer/augment)."""
+        first = sets[0]
+        examples = [e for s in sets for e in s.examples]
+        return cls(examples, first.tokenizer, max_boxes=first.max_boxes,
+                   task_index=first.task_index, augment=first.augment)
+
 
 def load_mdetr_refexp(
     ann_file: str,

@@ -137,3 +137,31 @@ class TestCliDatasetFlag:
             ["train-grounding", "--dataset", "refexp_train"])
         with pytest.raises(FileNotFoundError):
             cmd_train_grounding(args)
+
+
+class TestZooWrappers:
+    def test_duplicated_and_concat(self):
+        import numpy as np
+
+        from lpi_tpu.data.bert_tokenizer import BertTokenizer
+        from lpi_tpu.data.grounding import GroundingExample, GroundingTaskSet
+
+        tok = BertTokenizer(max_len=16)
+
+        def mk(n, tag):
+            return GroundingTaskSet(
+                [GroundingExample(image=np.zeros((8, 8, 3), np.float32),
+                                  caption=f"{tag}{i}",
+                                  boxes=np.zeros((1, 4), np.float32),
+                                  token_spans=[[]], task_index=0)
+                 for i in range(n)], tok, max_boxes=2)
+
+        a = mk(2, "a")
+        dup = a.duplicated(3)
+        assert len(dup) == 6
+        assert dup.examples[4].caption == "a0"  # 4 % 2
+
+        b = mk(3, "b")
+        cat = GroundingTaskSet.concat([a, b])
+        assert len(cat) == 5
+        assert cat.examples[2].caption == "b0"
