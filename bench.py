@@ -11,9 +11,11 @@ Prints ONE JSON line:
    "unit": "samples/s", "vs_baseline": R, ...}
 
 The same line also carries `grounding_train_samples_per_sec_per_chip`
-(the GLIP-T + LPI fused train step at the reference recipe's 800px), so the
-grounding half has a hardware perf record too. Set LPI_BENCH_GROUNDING=0 to
-skip that leg.
+(the GLIP-T + LPI fused train step at the reference recipe's ACTUAL 448px —
+the reference hardcodes `Resize(448, 448, restrict=True)` in
+`data/transforms/build.py:36-41`, overriding the yaml's 800/1333;
+LPI_BENCH_GROUNDING_SIZE overrides). Set LPI_BENCH_GROUNDING=0 to skip
+that leg.
 
 `vs_baseline` divides by REFERENCE_SAMPLES_PER_SEC, which is *derived*, not
 measured (the reference publishes no throughput — BASELINE.md): analytic
@@ -95,7 +97,11 @@ def bench_retrieval() -> float:
     from lpi_tpu.continual.learner import RetrievalLearner, _split_params
 
     cfg = RetrievalConfig()  # full ViT-B/16 + LPI prompts, batch 64
-    batch = cfg.batch_size
+    batch = int(os.environ.get("LPI_BENCH_RETRIEVAL_BATCH", cfg.batch_size))
+    if batch != cfg.batch_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, batch_size=batch)
     rng = np.random.RandomState(0)
     images = rng.randn(batch, 224, 224, 3).astype(np.float32)
     ids = rng.randint(1, 49000, size=(batch, 77)).astype(np.int32)
@@ -121,6 +127,50 @@ def bench_retrieval() -> float:
     float(metrics["total"])  # forces the whole dependent chain
     dt = time.perf_counter() - t0
     return batch * iters / dt
+
+
+def bench_quality() -> dict:
+    """The accuracy gate's quality line (VERDICT r2 #4): a tiny 3-session
+    continual retrieval run on correlated synthetic data
+    (`data/retrieval.py:_render_correlated`), reporting task-ID accuracy,
+    R@1, and forgetting. Mirrors `tests/test_quality_gate.py` at bench time
+    so every BENCH record carries accuracy-level evidence, not just
+    throughput."""
+    from lpi_tpu.core.config import CLIPConfig, LPIPromptConfig, RetrievalConfig
+    from lpi_tpu.continual.learner import RetrievalLearner
+    from lpi_tpu.data.retrieval import (
+        synthetic_correlated_eval, synthetic_correlated_session)
+    from lpi_tpu.data.tokenizer import ClipTokenizer
+    from lpi_tpu.eval.retrieval import aggregate_results
+
+    n_tasks = 3
+    cfg = RetrievalConfig(
+        clip=CLIPConfig(
+            image_resolution=32, patch_size=8, vision_width=64,
+            vision_layers=3, vision_heads=4, text_width=64, text_layers=3,
+            text_heads=4, vocab_size=49408, context_length=77, embed_dim=32,
+            n_ctx=4),
+        lpi=LPIPromptConfig(prompt_length=4, prompt_depth=3, prompt_rank=2),
+        total_sessions=n_tasks, epochs=4, batch_size=8, lr=0.05,
+        visual_dim=64, textual_dim=64, num_key_clusters=2, dtype="float32")
+    tok = ClipTokenizer()
+    learner = RetrievalLearner(cfg, task_sim_matrix=np.eye(n_tasks))
+    session_results = {}
+    for t in range(n_tasks):
+        ds = synthetic_correlated_session(t, 24, 32, tok, cfg.clip.n_ctx)
+        learner.train_session(ds)
+        ev = synthetic_correlated_eval(t + 1, 8, 32, tok, cfg.clip.n_ctx)
+        session_results[t] = learner.evaluate(ev, num_tasks=t + 1)
+    final = session_results[n_tasks - 1]
+    agg = aggregate_results(session_results, direction="i2t", k_index=0)
+    return {
+        "task_id_acc_visual": round(final["task_id_accuracy"]["visual"], 3),
+        "task_id_acc_textual": round(final["task_id_accuracy"]["textual"], 3),
+        "txt_r1": round(final["summary"]["txt_r1"], 1),
+        "img_r1": round(final["summary"]["img_r1"], 1),
+        "i2t_p1_average": round(agg["average"], 1),
+        "i2t_forgetting": round(agg["forgetting"], 1),
+    }
 
 
 def bench_grounding(image_size: int = 448, batch: int = 4) -> float:
@@ -156,16 +206,42 @@ def bench_grounding(image_size: int = 448, batch: int = 4) -> float:
     opt_state = tx.init(pools)
     b = {k: jnp.asarray(v) for k, v in sample.items()}
 
-    pools, opt_state, metrics = step(pools, opt_state, frozen, b)
-    float(metrics["total"])
+    def timed(frozen_params):
+        nonlocal pools, opt_state
+        p, o, metrics = step(pools, opt_state, frozen_params, b)
+        pools, opt_state = p, o
+        float(metrics["total"])  # compile + barrier
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            pools, opt_state, metrics = step(pools, opt_state, frozen_params, b)
+        float(metrics["total"])  # forces the whole dependent chain
+        dt = time.perf_counter() - t0
+        return batch * iters / dt
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        pools, opt_state, metrics = step(pools, opt_state, frozen, b)
-    float(metrics["total"])
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    sps_zero = timed(frozen)
+
+    # HONEST headline: the zero-init offset convs emit ~0 px offsets, which
+    # lets the kernel's data-dependent tile culling skip ~60/64
+    # displacements — flattering vs trained GLIP offsets (~+-1-2 px,
+    # keeping 9-16 active). Randomize the offset convs to produce
+    # position-varying offsets of realistic magnitude and re-time the SAME
+    # compiled step (culling is a runtime effect, not a trace effect).
+    from flax import traverse_util
+
+    rng = np.random.RandomState(7)
+    flat = traverse_util.flatten_dict(frozen)
+    for k, v in flat.items():
+        if "offset" in k:
+            if k[-1] == "kernel":
+                flat[k] = v * 30.0  # N(0, .01) -> N(0, .3) per-position term
+            elif k[-1] == "bias":
+                bias = np.zeros(v.shape, np.float32)
+                bias[:18] = rng.randn(18) * 1.0  # ~+-1-2 px systematic part
+                flat[k] = jnp.asarray(bias)
+    frozen_honest = traverse_util.unflatten_dict(flat)
+    sps_honest = timed(frozen_honest)
+    return {"honest_offsets": sps_honest, "zero_offsets": sps_zero}
 
 
 def main():
@@ -194,22 +270,34 @@ def main():
 
         budget = int(os.environ.get("LPI_BENCH_GROUNDING_TIMEOUT", "2400"))
         size = int(os.environ.get("LPI_BENCH_GROUNDING_SIZE", "448"))
-        code = ("import sys; sys.path.insert(0, %r); import bench; "
-                "print('GROUNDING_SPS', bench.bench_grounding(%d))"
+        code = ("import sys, json; sys.path.insert(0, %r); import bench; "
+                "print('GROUNDING_SPS', json.dumps(bench.bench_grounding(%d)))"
                 % (os.path.dirname(os.path.abspath(__file__)), size))
         try:
             proc = subprocess.run([sys.executable, "-c", code], timeout=budget,
                                   capture_output=True, text=True)
             for line in proc.stdout.splitlines():
                 if line.startswith("GROUNDING_SPS"):
+                    g = json.loads(line.split(" ", 1)[1])
+                    # headline = honest (randomized +-1-2 px) offsets; the
+                    # zero-init figure is the flattering upper bound
                     out["grounding_train_samples_per_sec_per_chip"] = round(
-                        float(line.split()[1]), 2)
+                        g["honest_offsets"], 2)
+                    out["grounding_train_samples_per_sec_zero_offsets"] = \
+                        round(g["zero_offsets"], 2)
                     break
             else:
                 out["grounding_error"] = (proc.stderr.strip()[-200:]
                                           or f"rc={proc.returncode}")
         except subprocess.TimeoutExpired:
             out["grounding_error"] = f"timeout after {budget}s (first compile)"
+        print(json.dumps(out), flush=True)
+
+    if os.environ.get("LPI_BENCH_QUALITY", "1") != "0":
+        try:
+            out["quality"] = bench_quality()
+        except Exception as e:  # quality leg must not kill the perf record
+            out["quality_error"] = str(e)[-200:]
         print(json.dumps(out), flush=True)
 
 

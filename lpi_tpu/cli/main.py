@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--output-dir", default="res")
     t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--tensorboard-dir", default=None,
+                   help="also export per-session metrics as TB event files "
+                        "(reference utils/metric_logger.py:94)")
 
     g = sub.add_parser("train-grounding", help="run the continual grounding loop")
     g.add_argument("--config", default=None)
@@ -57,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--epochs", type=int, default=None)
     g.add_argument("--output-dir", default="FINAL_RES")
     g.add_argument("--checkpoint-dir", default="checkpoints_grounding")
+    g.add_argument("--tensorboard-dir", default=None,
+                   help="also export per-task metrics as TB event files")
 
     d = sub.add_parser("predict", help="grounding demo on one image (GLIPDemo)")
     d.add_argument("image")
@@ -80,6 +85,18 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--ann-val", default=None)
     e.add_argument("--image-root", default=None)
     e.add_argument("--synthetic", action="store_true")
+
+    ea = sub.add_parser(
+        "eval-all",
+        help="sweep every saved session checkpoint and eval each "
+             "(grounding/tools/eval_all.py equivalent)")
+    ea.add_argument("--config", default=None)
+    ea.add_argument("--checkpoint-dir", required=True)
+    ea.add_argument("--ann-val", default=None)
+    ea.add_argument("--image-root", default=None)
+    ea.add_argument("--synthetic", action="store_true")
+    ea.add_argument("--output", default=None,
+                    help="write the per-session summary json here")
 
     r = sub.add_parser("report", help="aggregate a result json (reshandle)")
     r.add_argument("result_json")
@@ -172,6 +189,11 @@ def cmd_train(args) -> str:
         }
 
     ckpt = SessionCheckpointer(args.checkpoint_dir)
+    from lpi_tpu.core.logging import MetricLogger
+
+    ml = MetricLogger(
+        jsonl_path=os.path.join(args.output_dir, "metrics.jsonl"),
+        tensorboard_dir=getattr(args, "tensorboard_dir", None))
     results = {}
     for i in range(sessions):
         log.info("=== session %d/%d (task %d) ===", i + 1, sessions,
@@ -181,6 +203,9 @@ def cmd_train(args) -> str:
         res = learner.evaluate(eval_sets[i], num_tasks=i + 1)
         log.info("eval r_mean=%.2f task_acc=%s", res["summary"]["r_mean"],
                  res["task_id_accuracy"])
+        ml.update(session=i, **{k: v for k, v in metrics.items()},
+                  r_mean=res["summary"]["r_mean"],
+                  task_id_acc_visual=res["task_id_accuracy"]["visual"])
         results[i] = {"mscoco": {"i2t": res["i2t"], "t2i": res["t2i"]},
                       "summary": res["summary"],
                       "task_id_accuracy": res["task_id_accuracy"]}
@@ -262,6 +287,11 @@ def cmd_train_grounding(args) -> str:
                                            strict_shapes=False)
 
     ckpt = SessionCheckpointer(args.checkpoint_dir)
+    from lpi_tpu.core.logging import MetricLogger
+
+    ml = MetricLogger(
+        jsonl_path=os.path.join(args.output_dir, "metrics.jsonl"),
+        tensorboard_dir=getattr(args, "tensorboard_dir", None))
     results = {}
     for tid in range(tasks):
         log.info("=== grounding task %d/%d ===", tid + 1, tasks)
@@ -270,6 +300,9 @@ def cmd_train_grounding(args) -> str:
         res = learner.evaluate({t: task_sets[t] for t in range(tid + 1)})
         log.info("eval: %s", res)
         results[tid] = res
+        ml.update(task=tid, **{k: v for k, v in metrics.items()},
+                  p1_overall=res["overall"][0],
+                  task_id_acc=res["task_id_accuracy"])
         pools, frozen = _split_params(learner.params)
         if tid == 0:
             ckpt.save_base(frozen)
@@ -378,6 +411,59 @@ def cmd_eval(args) -> dict:
                       "task_id_accuracy": res["task_id_accuracy"]},
                      indent=2, default=float))
     return res
+
+
+def cmd_eval_all(args) -> dict:
+    """Evaluate EVERY saved session checkpoint in a directory — the
+    reference's checkpoint sweep (`grounding/tools/eval_all.py`), which
+    globs `model_*.pth` and runs inference per checkpoint. Here: restore
+    each saved session (frozen base + that session's pools/keys) and run
+    the cumulative retrieval eval; print and optionally save the
+    per-session summary table."""
+    if not args.synthetic and not (args.ann_val and args.image_root):
+        raise SystemExit("need --ann-val/--image-root (or --synthetic)")
+
+    from lpi_tpu.core.config import load_config
+    from lpi_tpu.core.checkpoint import SessionCheckpointer
+    from lpi_tpu.core.logging import setup_logging
+    from lpi_tpu.continual.learner import RetrievalLearner
+    from lpi_tpu.data.tokenizer import ClipTokenizer
+
+    log = setup_logging(None)
+    cfg = load_config(args.config)
+    rcfg = cfg.retrieval
+    ckpt = SessionCheckpointer(args.checkpoint_dir)
+    latest = ckpt.latest_session()
+    if latest is None:
+        raise SystemExit(f"no sessions found in {args.checkpoint_dir}")
+    sessions = [s for s in range(latest + 1)
+                if os.path.isdir(os.path.join(args.checkpoint_dir,
+                                              f"session_{s}"))]
+
+    tok = ClipTokenizer()
+    learner = RetrievalLearner(rcfg)
+    out = {}
+    for s in sessions:
+        learner.restore(ckpt, s)
+        if args.synthetic:
+            from lpi_tpu.data.retrieval import synthetic_eval
+
+            ev = synthetic_eval(s + 1, 8, image_size=rcfg.clip.image_resolution,
+                                tokenizer=tok, n_ctx=rcfg.clip.n_ctx)
+        else:
+            from lpi_tpu.data.coco import load_coco_eval
+
+            ev = load_coco_eval(args.ann_val, args.image_root,
+                                list(range(s + 1)), tok, rcfg.clip.n_ctx)
+        res = learner.evaluate(ev, num_tasks=s + 1)
+        out[s] = {"summary": res["summary"],
+                  "task_id_accuracy": res["task_id_accuracy"]}
+        log.info("session %02d: %s", s, out[s]["summary"])
+    print(json.dumps(out, indent=2, default=float))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(out, f, default=float)
+    return out
 
 
 def cmd_report(args) -> dict:
@@ -490,6 +576,8 @@ def main(argv=None):
         return cmd_serve(args)
     if args.command == "eval":
         return cmd_eval(args)
+    if args.command == "eval-all":
+        return cmd_eval_all(args)
     if args.command == "report":
         return cmd_report(args)
     if args.command == "eval-detection":

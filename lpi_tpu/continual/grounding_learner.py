@@ -162,6 +162,58 @@ class GroundingLearner:
 
         return self._tx(), step
 
+    def pretrain(self, dataset: GroundingTaskSet, steps: int,
+                 lr: Optional[float] = None) -> Dict[str, float]:
+        """Full-parameter training (no task-pool mask) — the reference's
+        `tuning_highlevel_override` FULL preset (`finetune.py:392-437`,
+        TUNING_HIGHLEVEL_OVERRIDE='full' trains everything). Used to build a
+        base detector before the continual prompt loop (the role GLIP-T(A)
+        pretraining plays for the real recipe) and by the accuracy gate.
+        """
+        cfg = self.cfg
+        lr = cfg.lr if lr is None else lr
+        if getattr(self, "_full_step", None) is None:
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip),
+                optax.inject_hyperparams(optax.adamw)(
+                    learning_rate=0.0, weight_decay=cfg.weight_decay))
+            self._full_tx = tx
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def step(params, opt_state, batch, lr):
+                clip_state, inj = opt_state
+                inj = inj._replace(
+                    hyperparams=dict(inj.hyperparams, learning_rate=lr))
+
+                def loss_fn(p):
+                    pools, frozen = _split_params(p)
+                    return self._losses(pools, frozen, batch, 0)
+
+                (total, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, (clip_state, inj), params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, {"total": total, **metrics}
+
+            self._full_step = step
+        params = self.params
+        opt_state = self._full_tx.init(params)
+        metrics = {}
+        it = iter([])
+        for n in range(steps):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = dataset.batches(cfg.batch_size, seed=cfg.seed + n)
+                batch = next(it)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self.mesh is not None:
+                batch = mesh_lib.shard_batch(self.mesh, batch)
+            params, opt_state, metrics = self._full_step(
+                params, opt_state, batch, jnp.float32(lr))
+        self.params = params
+        return {k: float(v) for k, v in metrics.items()}
+
     def train_task(self, dataset: GroundingTaskSet,
                    epochs: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg

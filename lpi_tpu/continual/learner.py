@@ -38,6 +38,7 @@ from lpi_tpu.continual.keys import TaskKeys, infer_task_ids
 from lpi_tpu.data.retrieval import RetrievalEvalSet, RetrievalTrainSet
 from lpi_tpu.eval.retrieval import itm_eval
 from lpi_tpu.losses import alignment_loss, clip_loss, task_prompt_loss_masked
+from lpi_tpu.losses.clip_loss import global_clip_loss
 from lpi_tpu.models.clip import SliNet
 from lpi_tpu.ops.kmeans import kmeans
 
@@ -107,12 +108,33 @@ class RetrievalLearner:
         self._encode_cache: dict = {}
 
     # ------------------------------------------------------------------
+    def _base_loss(self, img, txt, scale):
+        """Batch-global InfoNCE. With a multi-device mesh the explicit
+        local-loss formulation runs under shard_map (features stay sharded
+        over `data`; the other tower is all-gathered over ICI, labels offset
+        per shard — the reference's dormant `local_loss`,
+        `retrieval/loss/loss.py:62-73`, made real). Dense fallback
+        otherwise; tested gradient-equal in tests/test_losses.py."""
+        mesh = self.mesh
+        if mesh is None or mesh.shape[mesh.axis_names[0]] <= 1 \
+                or img.shape[0] % mesh.shape[mesh.axis_names[0]] != 0:
+            return clip_loss(scale * img @ txt.T)
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        axis = mesh.axis_names[0]
+        fn = shard_map(
+            partial(global_clip_loss, axis_name=axis), mesh,
+            in_specs=(P(axis), P(axis), P()), out_specs=P(),
+            check_rep=False)
+        return fn(img, txt, scale)
+
     def _losses(self, pool_params, frozen_params, batch, task_id: int):
         cfg = self.cfg
         params = _merge_params(pool_params, frozen_params)
         img, txt, vis_p, txt_p, scale = self.model.apply(
             {"params": params}, batch["images"], batch["token_ids"], task_id)
-        losses = {"base_loss": clip_loss(scale * img @ txt.T)}
+        losses = {"base_loss": self._base_loss(img, txt, scale)}
         if cfg.lpi.prompt_type == "lpi":
             if cfg.lpi.layer_alignment:
                 losses["alignment_loss"] = cfg.lpi.alignment_weight * alignment_loss(
@@ -302,10 +324,17 @@ class RetrievalLearner:
 
         img_feats = np.concatenate(img_feats)
         txt_feats = np.concatenate(txt_feats)
-        scores_i2t = img_feats @ txt_feats.T
+        # ranking on device: one jitted matmul+rank program instead of a
+        # host [Ni, Nt] matmul + argsort (the reference's `sprompt.py:509`
+        # does the matmul on GPU; SURVEY §7 calls for the device path)
+        from lpi_tpu.eval.retrieval import device_ranks
+
+        ranks = device_ranks(img_feats, txt_feats, eval_set.txt2img,
+                             eval_set.img2txt)
         res = itm_eval(
-            scores_i2t, scores_i2t.T, eval_set.txt2img, eval_set.img2txt,
-            eval_set.image_categories, eval_set.text_categories, num_tasks)
+            None, None, eval_set.txt2img, eval_set.img2txt,
+            eval_set.image_categories, eval_set.text_categories, num_tasks,
+            ranks=ranks)
         res["task_id_accuracy"] = {
             "visual": float(np.mean(np.concatenate(img_sel) == eval_set.image_categories)),
             "textual": float(np.mean(np.concatenate(txt_sel) == eval_set.text_categories)),

@@ -105,8 +105,11 @@ class WarmupReduceLROnPlateau:
                 wf = 1.0  # reference quirk: final warmup step jumps to 1
             self.lr = self.base_lr * wf
             self.last_epoch += 1
-        elif metric is not None:
-            # torch ReduceLROnPlateau mode='max', threshold_mode='rel'
+        elif metric:
+            # torch ReduceLROnPlateau mode='max', threshold_mode='rel'.
+            # Truthiness (not `is not None`) matches the reference's
+            # `elif metrics:` (`solver/lr_scheduler.py`): a metric of
+            # exactly 0.0 is ignored and does not advance plateau state.
             if metric > self.best * (1.0 + self.threshold):
                 self.best = metric
                 self.num_bad = 0

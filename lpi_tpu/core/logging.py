@@ -75,6 +75,8 @@ class MetricLogger:
                  tensorboard_dir: Optional[str] = None):
         self.meters = collections.defaultdict(SmoothedValue)
         self.delimiter = delimiter
+        if jsonl_path and os.path.dirname(jsonl_path):
+            os.makedirs(os.path.dirname(jsonl_path), exist_ok=True)
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
         self._start = time.time()
         self._tb = None

@@ -104,6 +104,90 @@ def synthetic_session(
     return RetrievalTrainSet(images=images, token_ids=ids, task_index=task_index)
 
 
+def _render_correlated(rng, task: int, variant: int, scene: int,
+                       size: int) -> np.ndarray:
+    """Image whose pixels ENCODE its caption: a bright block at a
+    variant-determined grid cell, brightness modulated by scene, on a
+    task-shifted noise background. Gives image<->text mutual information a
+    frozen random encoder preserves — the substrate for the accuracy gate
+    (`tests/test_quality_gate.py`)."""
+    img = (0.05 * rng.randn(size, size, 3)
+           + 0.4 * np.sin(task + np.arange(3))[None, None, :])
+    cell = max(size // 4, 1)
+    r, c = divmod(variant % 16, 4)
+    img[r * cell:(r + 1) * cell, c * cell:(c + 1) * cell, :] += \
+        1.0 + 0.3 * scene
+    return img.astype(np.float32)
+
+
+def synthetic_correlated_session(
+    task_index: int,
+    num_samples: int = 24,
+    image_size: int = 32,
+    tokenizer=None,
+    n_ctx: int = 16,
+    num_variants: int = 8,
+    seed: int = 0,
+) -> RetrievalTrainSet:
+    """Training session with genuine image-text correlation (see
+    `_render_correlated`): caption names (variant, scene), pixels encode
+    them. Used by the accuracy gate and bench's quality line."""
+    rng = np.random.RandomState(seed + 1000 * task_index)
+    images, captions = [], []
+    for i in range(num_samples):
+        v, s = i % num_variants, (i // num_variants) % 3
+        images.append(_render_correlated(rng, task_index, v, s, image_size))
+        captions.append(f"a photo of object {task_index} variant {v} in scene {s}")
+    if tokenizer is None:
+        from lpi_tpu.data.tokenizer import ClipTokenizer
+
+        tokenizer = ClipTokenizer()
+    ids = tokenizer.tokenize_with_prefix(captions, n_ctx)
+    return RetrievalTrainSet(images=np.stack(images), token_ids=ids,
+                             task_index=task_index)
+
+
+def synthetic_correlated_eval(
+    num_tasks: int,
+    samples_per_task: int = 8,
+    image_size: int = 32,
+    tokenizer=None,
+    n_ctx: int = 16,
+    num_variants: int = 8,
+    seed: int = 0,
+) -> RetrievalEvalSet:
+    """Cumulative eval with one image per (task, variant, scene) triple and
+    the matching caption — R@1 is achievable exactly when features carry the
+    (task, variant, scene) signal through the prompted towers."""
+    if tokenizer is None:
+        from lpi_tpu.data.tokenizer import ClipTokenizer
+
+        tokenizer = ClipTokenizer()
+    images, img_cat, texts, txt_cat = [], [], [], []
+    txt2img, img2txt = {}, {}
+    for t in range(num_tasks):
+        rng = np.random.RandomState(seed + 1000 * t + 500)
+        for i in range(samples_per_task):
+            v, s = i % num_variants, (i // num_variants) % 3
+            img_idx = len(images)
+            images.append(_render_correlated(rng, t, v, s, image_size))
+            img_cat.append(t)
+            txt_idx = len(texts)
+            texts.append(f"a photo of object {t} variant {v} in scene {s}")
+            txt_cat.append(t)
+            txt2img[txt_idx] = img_idx
+            img2txt[img_idx] = [txt_idx]
+    return RetrievalEvalSet(
+        images=np.stack(images),
+        image_categories=np.asarray(img_cat),
+        texts=texts,
+        text_token_ids=tokenizer.tokenize_with_prefix(texts, n_ctx),
+        text_categories=np.asarray(txt_cat),
+        txt2img=txt2img,
+        img2txt=img2txt,
+    )
+
+
 def synthetic_eval(
     num_tasks: int,
     samples_per_task: int = 8,

@@ -3,13 +3,23 @@
 Equivalent of the reference's `itm_eval` (`retrieval/methods/sprompt.py:551-
 646`) and of the offline post-processing in
 `retrieval/res_handle/reshandle.py` (average precision across sessions and
-forgetting = last - best-previous). Host-side numpy; score matrices come off
-device once per evaluation.
+forgetting = last - best-previous).
+
+Two ranking paths produce identical R@k:
+
+* `device_ranks` — the logits matmul AND the rank computation run on device
+  under one jit (the reference does the matmul on GPU, `sprompt.py:509`,
+  then argsorts on host). Ranks come back as two small [N] vectors — at
+  MSCOCO scale that replaces a 25k x 5k host matmul + argsort with one
+  device program.
+* `_ranks_i2t` / `_ranks_t2i` — the original numpy path, kept as the golden
+  reference (tests assert device == host).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Sequence
+from functools import partial
+from typing import Dict, List, Mapping, Sequence, Tuple
 
 import numpy as np
 
@@ -35,6 +45,65 @@ def _ranks_t2i(scores_t2i: np.ndarray, txt2img: Mapping[int, int]) -> np.ndarray
     return ranks
 
 
+def _device_ranks_core(img_feats, txt_feats, txt2img_idx, img2txt_idx,
+                       img2txt_valid):
+    """On-device: scores = img @ txt.T, then gt ranks both directions.
+
+    rank(target) = #{j : score[j] > score[target]} — equals the stable
+    argsort position for distinct scores. i2t takes the min rank over each
+    image's (padded) ground-truth text set.
+    """
+    import jax.numpy as jnp
+
+    scores = img_feats @ txt_feats.T  # [Ni, Nt]
+    # t2i: one gt image per text
+    s_t2i = scores.T
+    tgt = jnp.take_along_axis(s_t2i, txt2img_idx[:, None], axis=1)
+    ranks_t2i = jnp.sum(s_t2i > tgt, axis=1)
+    # i2t: min over K gt texts (K is small; loop K passes over [Ni, Nt])
+    K = img2txt_idx.shape[1]
+    best = jnp.full((scores.shape[0],), scores.shape[1], jnp.int32)
+    for k in range(K):
+        tgt_k = jnp.take_along_axis(scores, img2txt_idx[:, k:k + 1], axis=1)
+        r_k = jnp.sum(scores > tgt_k, axis=1).astype(jnp.int32)
+        best = jnp.where(img2txt_valid[:, k], jnp.minimum(best, r_k), best)
+    return best, ranks_t2i
+
+
+def device_ranks(img_feats, txt_feats, txt2img: Mapping[int, int],
+                 img2txt: Mapping[int, Sequence[int]]
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Compute gt ranks on device (matmul + ranking in one jitted program).
+
+    Returns (ranks_i2t [Ni], ranks_t2i [Nt]) as numpy — drop-in for the
+    host `_ranks_*` pair.
+    """
+    import jax.numpy as jnp
+
+    n_img = int(np.shape(img_feats)[0])
+    n_txt = int(np.shape(txt_feats)[0])
+    t2i_idx = np.asarray([int(txt2img[t]) for t in range(n_txt)], np.int32)
+    kmax = max(len(img2txt[i]) for i in range(n_img))
+    i2t_idx = np.zeros((n_img, kmax), np.int32)
+    i2t_valid = np.zeros((n_img, kmax), bool)
+    for i in range(n_img):
+        gts = list(img2txt[i])
+        i2t_idx[i, :len(gts)] = gts
+        i2t_valid[i, :len(gts)] = True
+    global _JITTED_RANKS
+    if _JITTED_RANKS is None:
+        import jax
+
+        _JITTED_RANKS = jax.jit(_device_ranks_core)
+    r_i2t, r_t2i = _JITTED_RANKS(
+        jnp.asarray(img_feats), jnp.asarray(txt_feats),
+        jnp.asarray(t2i_idx), jnp.asarray(i2t_idx), jnp.asarray(i2t_valid))
+    return np.asarray(r_i2t), np.asarray(r_t2i)
+
+
+_JITTED_RANKS = None
+
+
 def _per_task_rk(ranks: np.ndarray, categories: np.ndarray, num_tasks: int) -> Dict[int, List[float]]:
     res = {}
     for task in range(num_tasks):
@@ -54,17 +123,24 @@ def itm_eval(
     img_categories: Sequence[int],
     txt_categories: Sequence[int],
     num_tasks: int,
+    ranks: Tuple[np.ndarray, np.ndarray] | None = None,
 ) -> dict:
     """Per-task R@1/5/10 both directions over the cumulative eval set.
 
     Output schema matches the reference's per-session result entry
     (`sprompt.py:633-640`): {'i2t': {task: [r1,r5,r10]}, 't2i': {...}} plus
-    the averaged summary.
+    the averaged summary. Pass `ranks` (from `device_ranks`) to skip the
+    host score matrices entirely — then scores_* may be None.
     """
     img_cat = np.asarray(img_categories)
     txt_cat = np.asarray(txt_categories)
-    i2t = _per_task_rk(_ranks_i2t(scores_i2t, img2txt), img_cat, num_tasks)
-    t2i = _per_task_rk(_ranks_t2i(scores_t2i, txt2img), txt_cat, num_tasks)
+    if ranks is not None:
+        r_i2t, r_t2i = ranks
+    else:
+        r_i2t = _ranks_i2t(scores_i2t, img2txt)
+        r_t2i = _ranks_t2i(scores_t2i, txt2img)
+    i2t = _per_task_rk(r_i2t, img_cat, num_tasks)
+    t2i = _per_task_rk(r_t2i, txt_cat, num_tasks)
 
     def avg(res):
         arr = np.array([res[t] for t in range(num_tasks)])

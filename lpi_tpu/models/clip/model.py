@@ -75,9 +75,9 @@ class ResidualAttentionBlock(nn.Module):
         if self.causal:
             S = x.shape[1]
             mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
         x = x + MultiheadAttention(self.width, self.heads, self.dtype, name="attn")(h, mask)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(h)
         h = quick_gelu(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(h)
@@ -177,7 +177,7 @@ class VisionTransformer(nn.Module):
         self.positional_embedding = self.param(
             "positional_embedding", nn.initializers.normal(scale),
             (grid * grid + 1, c.vision_width))
-        self.ln_pre = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")
+        self.ln_pre = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")
         self.tower = nn.scan(
             PromptedBlock,
             variable_axes={"params": 0},
@@ -186,7 +186,7 @@ class VisionTransformer(nn.Module):
             in_axes=0,
         )(width=c.vision_width, heads=c.vision_heads, causal=False,
           dtype=self.dtype, name="transformer")
-        self.ln_post = nn.LayerNorm(dtype=jnp.float32, name="ln_post")
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")
         self.proj = self.param("proj", nn.initializers.normal(scale),
                                (c.vision_width, c.embed_dim))
 
@@ -266,7 +266,7 @@ class TextTransformer(nn.Module):
 
         x = _scan_tower("transformer", c.text_width, c.text_heads,
                         c.text_layers, True, self.dtype, x, prompts, gates)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
 
         eot = jnp.argmax(token_ids, axis=-1)  # EOT has the largest token id
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]

@@ -301,6 +301,14 @@ class FusedDualEncoder(nn.Module):
         Dt = self.bert_cfg.hidden_size
         L_total = self.bert_cfg.num_layers
         have_prompts = visual_prompt is not None
+        # A single inject mask covers both modalities; supplying only one
+        # prompt would zero-pad the other and (in maple replace-mode)
+        # overwrite real activations with zeros. Require both or neither.
+        if have_prompts != (textual_prompt is not None):
+            raise ValueError(
+                "visual_prompt and textual_prompt must be provided together "
+                "(got visual=%s, textual=%s)" % (
+                    visual_prompt is not None, textual_prompt is not None))
 
         def batched_padded(p, dim):
             """-> [B, L_total, P, dim] (zeros when absent / beyond depth)."""

