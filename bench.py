@@ -6,7 +6,9 @@ rank-4 DecomposedPrompt injection (the paper config: 16 prompt tokens, depth
 masked SGD update — at the reference recipe's batch size 64
 (`retrieval/configs/lpi/coco_lpi.json`), bf16 compute.
 
-Prints ONE JSON line:
+Prints up to three progressively-enriched JSON lines (headline first, then
+grounding, then quality) — each a superset of the previous, so a tail-parser
+takes the LAST line:
   {"metric": "retrieval_train_samples_per_sec_per_chip", "value": N,
    "unit": "samples/s", "vs_baseline": R, ...}
 
@@ -139,7 +141,8 @@ def bench_quality() -> dict:
     from lpi_tpu.core.config import CLIPConfig, LPIPromptConfig, RetrievalConfig
     from lpi_tpu.continual.learner import RetrievalLearner
     from lpi_tpu.data.retrieval import (
-        synthetic_correlated_eval, synthetic_correlated_session)
+        synthetic_correlated_eval, synthetic_correlated_pretrain,
+        synthetic_correlated_session)
     from lpi_tpu.data.tokenizer import ClipTokenizer
     from lpi_tpu.eval.retrieval import aggregate_results
 
@@ -155,6 +158,10 @@ def bench_quality() -> dict:
         visual_dim=64, textual_dim=64, num_key_clusters=2, dtype="float32")
     tok = ClipTokenizer()
     learner = RetrievalLearner(cfg, task_sim_matrix=np.eye(n_tasks))
+    # full-param pretrain first: the frozen backbone the prompts steer must
+    # be PRETRAINED, like the reference's downloaded CLIP (VERDICT r3 #1a)
+    mixed = synthetic_correlated_pretrain(n_tasks, 24, 32, tok, cfg.clip.n_ctx)
+    learner.pretrain(mixed, steps=600, lr=1e-3)
     session_results = {}
     for t in range(n_tasks):
         ds = synthetic_correlated_session(t, 24, 32, tok, cfg.clip.n_ctx)
@@ -163,7 +170,7 @@ def bench_quality() -> dict:
         session_results[t] = learner.evaluate(ev, num_tasks=t + 1)
     final = session_results[n_tasks - 1]
     agg = aggregate_results(session_results, direction="i2t", k_index=0)
-    return {
+    out = {
         "task_id_acc_visual": round(final["task_id_accuracy"]["visual"], 3),
         "task_id_acc_textual": round(final["task_id_accuracy"]["textual"], 3),
         "txt_r1": round(final["summary"]["txt_r1"], 1),
@@ -171,9 +178,75 @@ def bench_quality() -> dict:
         "i2t_p1_average": round(agg["average"], 1),
         "i2t_forgetting": round(agg["forgetting"], 1),
     }
+    # self-asserting (VERDICT r3 #2): compare against the accuracy gate's
+    # bars so a chance-level result can never be recorded silently
+    out["quality_bars"] = {"r1": 50.0, "task_id": 0.8,
+                          "grounding_p1": 30.0, "grounding_task_id": 0.8}
+    out["quality_ok"] = bool(
+        out["txt_r1"] >= 50.0 and out["img_r1"] >= 50.0
+        and out["i2t_p1_average"] >= 50.0
+        and out["task_id_acc_visual"] >= 0.8
+        and out["task_id_acc_textual"] >= 0.8)
+    if os.environ.get("LPI_BENCH_QUALITY_GROUNDING", "1") != "0":
+        try:
+            g = bench_quality_grounding()
+            out.update(g)
+            out["quality_ok"] = bool(
+                out["quality_ok"] and g["grounding_p1"] >= 30.0
+                and g["grounding_task_id_acc"] >= 0.8)
+        except Exception as e:
+            out["grounding_quality_error"] = str(e)[-200:]
+            out["quality_ok"] = False
+    return out
 
 
-def bench_grounding(image_size: int = 448, batch: int = 4) -> float:
+def bench_quality_grounding() -> dict:
+    """The grounding half of the accuracy gate at bench time: mixed-task
+    full-param pretrain (the GLIP-T(A) role), 3-task continual prompt loop,
+    task-ID + P@1(GIoU>=0.5) eval — `tests/test_quality_gate.py`'s recipe."""
+    from lpi_tpu.core.config import (
+        ATSSConfig, BertConfig, DyHeadConfig, GroundingConfig,
+        LPIPromptConfig, SwinConfig)
+    from lpi_tpu.continual.grounding_learner import GroundingLearner
+    from lpi_tpu.data.bert_tokenizer import BertTokenizer
+    from lpi_tpu.data.grounding import GroundingTaskSet, synthetic_grounding_task
+
+    n_tasks = 3
+    cfg = GroundingConfig(
+        swin=SwinConfig(patch_size=4, embed_dim=8, depths=(2, 2, 6, 2),
+                        num_heads=(1, 2, 2, 2), window_size=4),
+        bert=BertConfig(vocab_size=512, hidden_size=16, num_layers=12,
+                        num_heads=2, intermediate_size=32,
+                        max_position_embeddings=32, max_query_len=16),
+        dyhead=DyHeadConfig(num_convs=2, channels=16, max_tokens=16),
+        atss=ATSSConfig(anchor_sizes=(32, 64, 128, 256, 512),
+                        anchor_strides=(4, 8, 16, 32, 64),
+                        pre_nms_top_n=50, fpn_post_nms_top_n=10),
+        lpi=LPIPromptConfig(prompt_length=4, prompt_depth=9, prompt_rank=2,
+                            interact_rank=2, interact_depth=9),
+        total_tasks=n_tasks, epochs_per_task=2, batch_size=4,
+        max_boxes=4, image_size=64, num_key_clusters=5, dtype="float32",
+        lr=0.003, fused_scan_unroll=99)
+    tok = BertTokenizer(max_len=16, vocab_size=512)
+    tasks = {t: synthetic_grounding_task(t, 24, cfg.image_size, tok)
+             for t in range(n_tasks)}
+    sample = next(tasks[0].batches(cfg.batch_size))
+    learner = GroundingLearner(cfg, sample_batch=sample)
+    mixed = GroundingTaskSet.concat([
+        synthetic_grounding_task(t, 16, cfg.image_size, tok, seed=5)
+        for t in range(n_tasks)])
+    learner.pretrain(mixed, steps=242, lr=cfg.lr)
+    for t in range(n_tasks):
+        learner.train_task(tasks[t], epochs=8)
+    res = learner.evaluate(tasks)
+    return {
+        "grounding_p1": round(float(res["overall"][0]), 1),
+        "grounding_p5": round(float(res["overall"][1]), 1),
+        "grounding_task_id_acc": round(float(res["task_id_accuracy"]), 3),
+    }
+
+
+def bench_grounding(image_size: int = 448, batch: int = 4) -> dict:
     """GLIP-T + LPI fused train step at the reference's ACTUAL train size.
 
     448px: the reference hardcodes `Resize(448, 448, restrict=True)` in
@@ -296,9 +369,17 @@ def main():
     if os.environ.get("LPI_BENCH_QUALITY", "1") != "0":
         try:
             out["quality"] = bench_quality()
+            # top-level mirror so a tail-parser can't miss a red gate
+            out["quality_ok"] = out["quality"]["quality_ok"]
         except Exception as e:  # quality leg must not kill the perf record
             out["quality_error"] = str(e)[-200:]
+            out["quality_ok"] = False
         print(json.dumps(out), flush=True)
+        if not out["quality_ok"]:
+            import sys
+
+            print("QUALITY GATE FAILED: accuracy below the gate bars "
+                  "(see the 'quality' field)", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     ea.add_argument("--ann-val", default=None)
     ea.add_argument("--image-root", default=None)
     ea.add_argument("--synthetic", action="store_true")
+    ea.add_argument("--grounding", action="store_true",
+                    help="sweep GROUNDING task checkpoints (GroundingLearner "
+                         "restore + eval over seen tasks) instead of retrieval")
+    ea.add_argument("--bert-vocab", default=None)
     ea.add_argument("--output", default=None,
                     help="write the per-session summary json here")
 
@@ -418,10 +422,13 @@ def cmd_eval_all(args) -> dict:
     reference's checkpoint sweep (`grounding/tools/eval_all.py`), which
     globs `model_*.pth` and runs inference per checkpoint. Here: restore
     each saved session (frozen base + that session's pools/keys) and run
-    the cumulative retrieval eval; print and optionally save the
-    per-session summary table."""
+    the cumulative eval; print and optionally save the per-session summary
+    table. `--grounding` sweeps grounding task checkpoints (the reference's
+    eval_all is a grounding tool); default sweeps retrieval sessions."""
     if not args.synthetic and not (args.ann_val and args.image_root):
         raise SystemExit("need --ann-val/--image-root (or --synthetic)")
+    if args.grounding:
+        return _eval_all_grounding(args)
 
     from lpi_tpu.core.config import load_config
     from lpi_tpu.core.checkpoint import SessionCheckpointer
@@ -459,6 +466,61 @@ def cmd_eval_all(args) -> dict:
         out[s] = {"summary": res["summary"],
                   "task_id_accuracy": res["task_id_accuracy"]}
         log.info("session %02d: %s", s, out[s]["summary"])
+    print(json.dumps(out, indent=2, default=float))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(out, f, default=float)
+    return out
+
+
+def _eval_all_grounding(args) -> dict:
+    """Grounding checkpoint sweep (`grounding/tools/eval_all.py:1-60`):
+    restore every saved task's pools + keys via GroundingLearner and run
+    `evaluate` over that task's seen set 0..t."""
+    from lpi_tpu.core.config import load_config
+    from lpi_tpu.core.checkpoint import SessionCheckpointer
+    from lpi_tpu.core.logging import setup_logging
+    from lpi_tpu.continual.grounding_learner import GroundingLearner
+    from lpi_tpu.data.bert_tokenizer import BertTokenizer
+    from lpi_tpu.data.grounding import load_mdetr_refexp, synthetic_grounding_task
+
+    log = setup_logging(None)
+    cfg = load_config(args.config)
+    gcfg = cfg.grounding
+    ckpt = SessionCheckpointer(args.checkpoint_dir)
+    latest = ckpt.latest_session()
+    if latest is None:
+        raise SystemExit(f"no sessions found in {args.checkpoint_dir}")
+    sessions = [s for s in range(latest + 1)
+                if os.path.isdir(os.path.join(args.checkpoint_dir,
+                                              f"session_{s}"))]
+
+    tok = BertTokenizer(vocab_path=args.bert_vocab,
+                        max_len=gcfg.bert.max_query_len,
+                        vocab_size=gcfg.bert.vocab_size)
+    if args.synthetic:
+        task_sets = {
+            t: synthetic_grounding_task(t, max(gcfg.batch_size * 2, 8),
+                                        gcfg.image_size, tok, gcfg.max_boxes)
+            for t in range(latest + 1)
+        }
+    else:
+        task_sets = {
+            t: load_mdetr_refexp(args.ann_val, args.image_root, t, tok,
+                                 gcfg.image_size, gcfg.max_boxes)
+            for t in range(latest + 1)
+        }
+    sample = next(task_sets[0].batches(gcfg.batch_size, drop_remainder=False))
+    learner = GroundingLearner(gcfg, sample_batch=sample)
+    out = {}
+    for s in sessions:
+        learner.restore(ckpt, s)
+        res = learner.evaluate({t: task_sets[t] for t in range(s + 1)})
+        out[s] = {"overall": res["overall"],
+                  "per_task": {str(k): v for k, v in res["per_task"].items()},
+                  "task_id_accuracy": res["task_id_accuracy"]}
+        log.info("task %02d: P@1/5/10=%s task_id_acc=%.3f", s,
+                 res["overall"], res["task_id_accuracy"])
     print(json.dumps(out, indent=2, default=float))
     if args.output:
         with open(args.output, "w") as f:

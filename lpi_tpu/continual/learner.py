@@ -207,6 +207,63 @@ class RetrievalLearner:
 
         return self._tx(), step
 
+    def pretrain(self, dataset: RetrievalTrainSet, steps: int,
+                 lr: Optional[float] = None) -> Dict[str, float]:
+        """Full-parameter contrastive training of the whole tower pair — the
+        role the downloaded OpenAI CLIP weights play for the reference
+        (`retrieval/methods/sprompt.py:104-148` loads a *pretrained* CLIP and
+        freezes it; prompts merely steer it). The accuracy gate uses this to
+        build a base encoder that carries the image<->text correlation before
+        the continual prompt loop freezes it (VERDICT r3 item #1a).
+
+        AdamW (not the session SGD): from-scratch contrastive training on a
+        tiny tower needs the adaptive step; the continual loop's optimizer is
+        untouched.
+        """
+        cfg = self.cfg
+        lr = cfg.lr if lr is None else lr
+        if getattr(self, "_full_step", None) is None:
+            tx = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.inject_hyperparams(optax.adamw)(
+                    learning_rate=0.0, weight_decay=0.0))
+            self._full_tx = tx
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def step(params, opt_state, batch, lr):
+                clip_state, inj = opt_state
+                inj = inj._replace(
+                    hyperparams=dict(inj.hyperparams, learning_rate=lr))
+
+                def loss_fn(p):
+                    pools, frozen = _split_params(p)
+                    return self._losses(pools, frozen, batch, 0)
+
+                (total, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, (clip_state, inj), params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, {"total": total, **losses}
+
+            self._full_step = step
+        params = self.params
+        opt_state = self._full_tx.init(params)
+        metrics = {}
+        it = iter([])
+        for n in range(steps):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = dataset.batches(self.cfg.batch_size, seed=cfg.seed + n)
+                batch = next(it)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self.mesh is not None:
+                batch = mesh_lib.shard_batch(self.mesh, batch)
+            params, opt_state, metrics = self._full_step(
+                params, opt_state, batch, jnp.float32(lr))
+        self.params = params
+        return {k: float(v) for k, v in metrics.items()}
+
     def train_session(self, dataset: RetrievalTrainSet, epochs: Optional[int] = None,
                       log_every: int = 50) -> Dict[str, float]:
         """Train one continual session on its task's data."""

@@ -142,6 +142,11 @@ class DyHeadConfig:
 
     num_convs: int = 6
     channels: int = 256
+    # MODEL.DYHEAD.NUM_CLASSES (incl. background, `defaults.py:425`); the
+    # cls_logits conv emits num_classes-1 channels — dead under the
+    # dot-product token loss (frozen, `generalized_vl_rcnn.py:152-156`) but
+    # present in GLIP checkpoints
+    num_classes: int = 81
     use_dyrelu: bool = True
     use_dyfuse: bool = True
     use_dfconv: bool = True
@@ -194,6 +199,9 @@ class GroundingConfig:
     lpi: LPIPromptConfig = field(default_factory=lambda: LPIPromptConfig(prompt_depth=9, interact_depth=9))
     total_tasks: int = 12
     epochs_per_task: int = 5  # LPAI.EPOCH
+    # MODEL.FPN.USE_GN — default False in the reference (`defaults.py:277`;
+    # the LPI yaml's USE_GN True is DYHEAD's); True adds the GN-conv variant
+    fpn_use_gn: bool = False
     batch_size: int = 16  # IMS_PER_BATCH
     lr: float = 0.01
     weight_decay: float = 0.05

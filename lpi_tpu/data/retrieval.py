@@ -104,19 +104,35 @@ def synthetic_session(
     return RetrievalTrainSet(images=images, token_ids=ids, task_index=task_index)
 
 
+# distinct block colors per variant: the variant signal must be *linearly
+# accessible* at init (a global color statistic), or tiny from-scratch
+# contrastive training collapses to the uniform saddle before it can learn a
+# purely positional cue (verified empirically, round 4: position-only signal
+# pins InfoNCE at ln(B) with input-independent features; color-coded variants
+# train to 100% R@1)
+_VARIANT_COLORS = np.array([
+    [1.0, 0.1, 0.1], [0.1, 1.0, 0.1], [0.1, 0.1, 1.0], [1.0, 1.0, 0.1],
+    [1.0, 0.1, 1.0], [0.1, 1.0, 1.0], [1.0, 1.0, 1.0], [0.6, 0.3, 1.0],
+    [0.8, 0.5, 0.1], [0.1, 0.5, 0.8], [0.5, 0.1, 0.5], [0.3, 0.8, 0.3],
+    [0.9, 0.9, 0.5], [0.5, 0.9, 0.9], [0.9, 0.5, 0.9], [0.4, 0.4, 0.9]])
+
+
 def _render_correlated(rng, task: int, variant: int, scene: int,
                        size: int) -> np.ndarray:
-    """Image whose pixels ENCODE its caption: a bright block at a
+    """Image whose pixels ENCODE its caption: a variant-colored block at a
     variant-determined grid cell, brightness modulated by scene, on a
     task-shifted noise background. Gives image<->text mutual information a
-    frozen random encoder preserves — the substrate for the accuracy gate
+    small encoder can actually learn — the substrate for the accuracy gate
     (`tests/test_quality_gate.py`)."""
     img = (0.05 * rng.randn(size, size, 3)
-           + 0.4 * np.sin(task + np.arange(3))[None, None, :])
+           + 0.4 * np.sin(task + np.arange(3))[None, None, :]
+           # global variant tint: commensurate with the task cue so the
+           # variant signal survives shortcut learning on mixed-task data
+           + 0.3 * _VARIANT_COLORS[variant % 16][None, None, :])
     cell = max(size // 4, 1)
     r, c = divmod(variant % 16, 4)
     img[r * cell:(r + 1) * cell, c * cell:(c + 1) * cell, :] += \
-        1.0 + 0.3 * scene
+        _VARIANT_COLORS[variant % 16] * (1.0 + 0.3 * scene)
     return img.astype(np.float32)
 
 
@@ -145,6 +161,29 @@ def synthetic_correlated_session(
     ids = tokenizer.tokenize_with_prefix(captions, n_ctx)
     return RetrievalTrainSet(images=np.stack(images), token_ids=ids,
                              task_index=task_index)
+
+
+def synthetic_correlated_pretrain(
+    num_tasks: int,
+    samples_per_task: int = 24,
+    image_size: int = 32,
+    tokenizer=None,
+    n_ctx: int = 16,
+    seed: int = 7,
+) -> RetrievalTrainSet:
+    """Mixed-task pretraining set for the accuracy gate: the role the
+    downloaded OpenAI CLIP weights play for the reference (a PRETRAINED
+    frozen backbone that prompts merely steer, `sprompt.py:104-148`).
+    Distinct seed from the per-session training data."""
+    sessions = [
+        synthetic_correlated_session(t, samples_per_task, image_size,
+                                     tokenizer, n_ctx, seed=seed)
+        for t in range(num_tasks)
+    ]
+    return RetrievalTrainSet(
+        images=np.concatenate([s.images for s in sessions]),
+        token_ids=np.concatenate([s.token_ids for s in sessions]),
+        task_index=0)
 
 
 def synthetic_correlated_eval(

@@ -53,9 +53,14 @@ def _device_ranks_core(img_feats, txt_feats, txt2img_idx, img2txt_idx,
     argsort position for distinct scores. i2t takes the min rank over each
     image's (padded) ground-truth text set.
     """
+    import jax.lax
     import jax.numpy as jnp
 
-    scores = img_feats @ txt_feats.T  # [Ni, Nt]
+    # highest precision: TPU f32 matmuls default to bf16 passes, whose
+    # quantization creates rank ties/flips vs the host numpy golden path
+    # (ADVICE r3 medium)
+    scores = jnp.matmul(img_feats, txt_feats.T,
+                        precision=jax.lax.Precision.HIGHEST)  # [Ni, Nt]
     # t2i: one gt image per text
     s_t2i = scores.T
     tgt = jnp.take_along_axis(s_t2i, txt2img_idx[:, None], axis=1)

@@ -181,10 +181,22 @@ def convert_glip(sd: Mapping[str, np.ndarray],
     # ---- FPN -----------------------------------------------------------
     F = "backbone.fpn."
     for key in list(sd):
+        # plain conv + bias (USE_GN False, the LPI configs' layout):
+        # `fpn_inner2.weight` / `.bias` directly on the conv
+        m = re.match(rf"{re.escape(F)}fpn_(inner|layer)(\d+)\.(weight|bias)$", key)
+        if m:
+            kind, idx, wb = m.group(1), int(m.group(2)), m.group(3)
+            i = idx - 2  # reference indexes inner2..4; ours 0..2
+            if wb == "weight":
+                put(f"fpn/{kind}{i}_conv/kernel", _conv(take(key)))
+            else:
+                put(f"fpn/{kind}{i}_conv/bias", _f32(take(key)))
+            continue
+        # Sequential conv+GN (USE_GN True surface): `.0.weight` conv,
+        # `.1.{weight,bias}` group norm
         m = re.match(rf"{re.escape(F)}fpn_(inner|layer)(\d+)\.(\d+)\.(weight|bias)", key)
         if m:
             kind, idx, sub, wb = m.group(1), int(m.group(2)), int(m.group(3)), m.group(4)
-            # reference indexes inner2..4; ours 0..2
             i = idx - 2
             if sub == 0:
                 put(f"fpn/{kind}{i}_conv/kernel", _conv(take(key)))

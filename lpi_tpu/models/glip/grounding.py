@@ -49,7 +49,8 @@ class GroundedVLModel(nn.Module):
             swin_cfg=c.swin, bert_cfg=c.bert, lpi_cfg=c.lpi,
             num_tasks=c.total_tasks, dtype=dtype,
             scan_unroll=c.fused_scan_unroll)
-        self.fpn = FPN(out_channels=c.dyhead.channels, dtype=dtype)
+        self.fpn = FPN(out_channels=c.dyhead.channels, use_gn=c.fpn_use_gn,
+                       dtype=dtype)
         self.head = VLDyHead(c.dyhead, lang_dim=c.bert.hidden_size,
                              num_anchors=1, dtype=dtype,
                              bert_cfg=c.bert if c.dyhead.early_fuse else None)

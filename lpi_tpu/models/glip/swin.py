@@ -225,7 +225,15 @@ class SwinTransformer(nn.Module):
             if s < len(self.depths) - 1:
                 downsamples.append(PatchMerging(dim, self.dtype, name=f"downsample{s}"))
             if (s + 2) in self.out_stages:
-                norms.append(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"out_norm{s}"))
+                # stage 0 ('stage2') gets nn.Identity under the RETINANET
+                # arch (`swint.py:556-559`: `if i_layer == 0 and
+                # backbone_arch.endswith("RETINANET"): nn.Identity()`), so
+                # the GLIP checkpoint has norm1..3 only
+                if s == 0:
+                    norms.append("identity")
+                else:
+                    norms.append(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                              name=f"out_norm{s}"))
             else:
                 norms.append(None)
         self.blocks = blocks
@@ -257,7 +265,7 @@ class SwinTransformer(nn.Module):
         norm = self.out_norms[stage]
         if norm is None:
             return None
-        out = norm(x)
+        out = x if norm == "identity" else norm(x)
         B = x.shape[0]
         return out.reshape(B, H, W, self.dims[stage]).astype(self.dtype)
 

@@ -237,7 +237,8 @@ class VLDyHead(nn.Module):
 
         bias_value = -math.log((1 - c.prior_prob) / c.prior_prob)
         A = self.num_anchors
-        cls_conv = nn.Conv(A * 1, (1, 1), kernel_init=nn.initializers.normal(0.01),
+        cls_conv = nn.Conv(A * (c.num_classes - 1), (1, 1),
+                           kernel_init=nn.initializers.normal(0.01),
                            bias_init=nn.initializers.constant(bias_value),
                            name="cls_logits")
         bbox_conv = nn.Conv(A * 4, (1, 1), kernel_init=nn.initializers.normal(0.01),

@@ -9,4 +9,3 @@ from lpi_tpu.ops.deform_conv import (  # noqa: F401
 )
 from lpi_tpu.ops.deform_pool import deform_psroi_pool  # noqa: F401
 from lpi_tpu.ops.roi_align import roi_align, roi_pool  # noqa: F401
-from lpi_tpu.ops.prompt_kernel import fused_compose_inject  # noqa: F401

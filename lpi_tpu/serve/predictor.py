@@ -122,9 +122,21 @@ class GroundingPredictor:
         """
         from lpi_tpu.data.transforms import normalize_bgr255, resize_distort
 
-        arr = np.asarray(image, np.float32)
-        if arr.max() > 1.5:  # uint8-range input
-            arr = arr / 255.0
+        arr = np.asarray(image)
+        if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] != 3):
+            # grayscale / RGBA and friends -> 3-channel RGB via PIL
+            from PIL import Image
+
+            u8 = arr if arr.dtype == np.uint8 else \
+                np.clip(np.asarray(arr, np.float32) * (255.0 if arr.dtype.kind == "f" else 1.0),
+                        0, 255).astype(np.uint8)
+            arr = np.asarray(Image.fromarray(u8).convert("RGB"))
+        # branch on dtype, not value range: a near-black uint8 image must
+        # still be scaled (ADVICE r3 low)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        else:
+            arr = np.asarray(arr, np.float32)
         H0, W0 = arr.shape[:2]
         resized, _ = resize_distort(arr, np.zeros((0, 4)),
                                     self.image_size, self.image_size)
@@ -145,7 +157,9 @@ class GroundingPredictor:
             {"params": self.params}, jnp.asarray(canvas), jnp.asarray(ids),
             jnp.asarray(mask), jnp.zeros((1,), jnp.int32),
             method=self.model.forward_tasks, mutable=["intermediates"])
-        fracs = [float(np.asarray(v[0])) for k, v in
+        # each Conv3x3Norm sows once per FPN level; take the max over ALL
+        # sown entries, not just the first level's (ADVICE r3 low)
+        fracs = [max(float(np.asarray(x)) for x in v) for k, v in
                  _flatten_intermediates(state.get("intermediates", {}))
                  if k.endswith("offset_clip_frac")]
         worst = max(fracs, default=0.0)

@@ -10,39 +10,6 @@ from lpi_tpu.continual.early_stop import EarlyStopper
 from lpi_tpu.core.dist import all_gather_objects, get_world_size, reduce_dict
 from lpi_tpu.core.ema import init_ema, update_ema
 from lpi_tpu.core.profiling import StepTimer, compiled_flops, device_memory_stats
-from lpi_tpu.ops.prompt_kernel import (
-    compose_inject_reference,
-    fused_compose_inject_pallas,
-)
-
-
-class TestPromptKernel:
-    @pytest.mark.parametrize("offset", [0, 1])
-    def test_matches_reference(self, rng, offset):
-        B, S, D, P, r = 2, 24, 128, 8, 4
-        x = jnp.asarray(rng.randn(B, S, D).astype(np.float32))
-        d1 = jnp.asarray(rng.randn(r).astype(np.float32))
-        d2 = jnp.asarray(rng.randn(P, r).astype(np.float32))
-        d3 = jnp.asarray(rng.randn(D, r).astype(np.float32))
-        ref = compose_inject_reference(x, d1, d2, d3, offset)
-        got = fused_compose_inject_pallas(x, d1, d2, d3, offset, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
-
-    def test_reference_matches_cp_compose(self, rng):
-        """The reference path itself must equal the DecomposedPrompt math."""
-        from lpi_tpu.prompts.pools import compose_cp
-
-        D, P, r = 16, 4, 2
-        x = jnp.zeros((1, 8, D))
-        d1 = jnp.asarray(rng.randn(r).astype(np.float32))
-        d2 = jnp.asarray(rng.randn(P, r).astype(np.float32))
-        d3 = jnp.asarray(rng.randn(D, r).astype(np.float32))
-        out = compose_inject_reference(x, d1, d2, d3, 1)
-        prompt = compose_cp(d1[None, :], d2, d3)[0]  # [P, D]
-        np.testing.assert_allclose(np.asarray(out[0, 1:5]), np.asarray(prompt),
-                                   atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(out[0, 0]), 0)
-
 
 class TestProfiling:
     def test_step_timer(self):

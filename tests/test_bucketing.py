@@ -15,6 +15,8 @@ replaces dynamic shapes with pad-to-max static bucketing
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from lpi_tpu.data.transforms import AugmentConfig, train_transform
 
 SCALES = (32, 48, 64)

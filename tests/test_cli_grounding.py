@@ -19,7 +19,7 @@ def test_train_grounding_synthetic(tmp_path):
                      "num_heads": 2, "intermediate_size": 32,
                      "max_position_embeddings": 32, "max_query_len": 16},
             "dyhead": {"num_convs": 2, "channels": 16, "max_tokens": 16},
-            "atss": {"anchor_sizes": [8, 16, 32, 64, 128],
+            "atss": {"anchor_sizes": [32, 64, 128, 256, 512],
                      "anchor_strides": [4, 8, 16, 32, 64],
                      "pre_nms_top_n": 50, "fpn_post_nms_top_n": 10},
             "lpi": {"prompt_length": 4, "prompt_depth": 6, "prompt_rank": 2,
@@ -49,3 +49,13 @@ def test_train_grounding_synthetic(tmp_path):
     assert np.isfinite(results["1"]["task_id_accuracy"])
     assert os.path.exists(tmp_path / "ck" / "base")
     assert os.path.exists(tmp_path / "ck" / "session_1")
+
+    # grounding checkpoint sweep (tools/eval_all.py equivalent, VERDICT r3 #6)
+    out = main(["eval-all", "--config", str(cfg_path), "--synthetic",
+                "--grounding", "--checkpoint-dir", str(tmp_path / "ck"),
+                "--output", str(tmp_path / "gsweep.json")])
+    assert set(out) == {0, 1}
+    assert len(out[1]["overall"]) == 3
+    assert np.isfinite(out[1]["task_id_accuracy"])
+    with open(tmp_path / "gsweep.json") as f:
+        assert set(json.load(f)) == {"0", "1"}

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.fast
 import torch
 import torch.nn.functional as F
 
@@ -197,10 +199,11 @@ def torch_fused_forward(images, input_ids, attention_mask, vis_prompt,
             hidden = torch_bert_layer(hidden, mask_t, tp)
             encoded_layers.append(hidden)
             i += 1
-        # stage norm -> NHWC out, then downsample (:851-883)
+        # stage norm -> NHWC out, then downsample (:851-883); stage 0 is
+        # nn.Identity under RETINANET (`swint.py:556-559`) so has no params
         norm = {k[len(f"out_norm{s}."):]: v for k, v in sw.items()
                 if k.startswith(f"out_norm{s}.")}
-        out = F.layer_norm(x, (C,), norm["scale"], norm["bias"])
+        out = F.layer_norm(x, (C,), norm["scale"], norm["bias"]) if norm else x
         outs.append(out.view(B, H, W, C))
         if s < len(SWIN.depths) - 1:
             dsp = {k[len(f"downsample{s}."):]: v for k, v in sw.items()

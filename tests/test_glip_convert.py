@@ -13,7 +13,17 @@ from flax.core import unfreeze
 
 from lpi_tpu.models.glip.convert import convert_glip, merge_into_params
 from lpi_tpu.models.glip.grounding import GroundedVLModel
-from tests.test_grounding import TINY
+from tests.test_grounding import TINY as _TINY_BASE
+
+import dataclasses
+
+# this suite's synthetic state dict uses the GN-FPN layout and a 1-channel
+# cls head, exercising the USE_GN converter surface; the plain conv+bias
+# layout (the LPI configs' actual one) is covered against the REAL
+# checkpoint namespace by tests/test_manifest_coverage.py
+TINY = dataclasses.replace(
+    _TINY_BASE, fpn_use_gn=True,
+    dyhead=dataclasses.replace(_TINY_BASE.dyhead, num_classes=2))
 
 
 def synthetic_glip_sd(cfg, rng):
@@ -49,8 +59,9 @@ def synthetic_glip_sd(cfg, rng):
             sd[p + "norm.weight"] = rng.randn(4 * C)
             sd[p + "norm.bias"] = rng.randn(4 * C)
             sd[p + "reduction.weight"] = rng.randn(2 * C, 4 * C)
-        sd[f"module.backbone.body.norm{s}.weight"] = rng.randn(C)
-        sd[f"module.backbone.body.norm{s}.bias"] = rng.randn(C)
+        if s > 0:  # stage 0's out norm is nn.Identity under RETINANET
+            sd[f"module.backbone.body.norm{s}.weight"] = rng.randn(C)
+            sd[f"module.backbone.body.norm{s}.bias"] = rng.randn(C)
 
     D = cfg.bert.hidden_size
     L = "module.language_backbone.body.model."

@@ -22,6 +22,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
 

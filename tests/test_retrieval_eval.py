@@ -8,6 +8,8 @@ score-matrix path.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from lpi_tpu.eval.retrieval import (
     _ranks_i2t,
     _ranks_t2i,
