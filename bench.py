@@ -224,6 +224,9 @@ def bench_quality_grounding() -> dict:
                         pre_nms_top_n=50, fpn_post_nms_top_n=10),
         lpi=LPIPromptConfig(prompt_length=4, prompt_depth=9, prompt_rank=2,
                             interact_rank=2, interact_depth=9),
+        # GN FPN: tiny from-scratch pretraining needs the normalization
+        # (see the gate config's note in tests/test_quality_gate.py)
+        fpn_use_gn=True,
         total_tasks=n_tasks, epochs_per_task=2, batch_size=4,
         max_boxes=4, image_size=64, num_key_clusters=5, dtype="float32",
         lr=0.003, fused_scan_unroll=99)

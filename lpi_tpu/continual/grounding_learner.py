@@ -150,15 +150,18 @@ class GroundingLearner:
         jitted = self._jitted_step()
         tid = jnp.int32(task_id)
         counter = {"n": 0}
+        # torch CosineAnnealingLR stepped per epoch (host-side python — no
+        # schedule constants baked into the compiled program). The per-epoch
+        # values are staged to the device ONCE: a fresh `jnp.float32(lr)`
+        # per step is a host->device RPC on the tunneled chip
+        lrs = [jnp.float32(cfg.lr * 0.5 * (1.0 + math.cos(math.pi * e / epochs)))
+               for e in range(epochs + 1)]
 
         def step(pools, opt_state, frozen, batch):
-            # torch CosineAnnealingLR stepped per epoch (host-side python —
-            # no schedule constants baked into the compiled program)
             epoch = counter["n"] // max(steps_per_epoch, 1)
-            lr = cfg.lr * 0.5 * (1.0 + math.cos(math.pi * epoch / epochs))
             counter["n"] += 1
             return jitted(pools, opt_state, frozen, batch, tid,
-                          jnp.float32(lr))
+                          lrs[min(epoch, epochs)])
 
         return self._tx(), step
 

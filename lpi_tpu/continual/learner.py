@@ -197,13 +197,17 @@ class RetrievalLearner:
         jitted = self._jitted_step()
         tid = jnp.int32(task_id)
         counter = {"n": 0}
+        # per-epoch cosine lr, staged to the device ONCE: `jnp.float32(lr)`
+        # in the loop is a fresh host->device transfer every step — an RPC
+        # round-trip on the tunneled chip inside the hot loop
+        lrs = [jnp.float32(cfg.lr * 0.5 * (1.0 + math.cos(math.pi * e / epochs)))
+               for e in range(epochs + 1)]
 
         def step(pool_params, opt_state, frozen_params, batch):
             epoch = counter["n"] // max(steps_per_epoch, 1)
-            lr = cfg.lr * 0.5 * (1.0 + math.cos(math.pi * epoch / epochs))
             counter["n"] += 1
             return jitted(pool_params, opt_state, frozen_params, batch, tid,
-                          jnp.float32(lr))
+                          lrs[min(epoch, epochs)])
 
         return self._tx(), step
 

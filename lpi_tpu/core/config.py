@@ -160,6 +160,11 @@ class DyHeadConfig:
     # `ops/deform_conv.py:deform_conv2d_pallas` docstring.
     deform_impl: str = "pallas"
     deform_window: int = 3
+    # product-map dtype for the pallas deform impl: "bfloat16" halves the
+    # kernel's HBM stream (its measured bound at DyHead shapes — offsets
+    # and in-kernel accumulation stay fp32); "float32" is bit-exact vs the
+    # golden gather op
+    deform_dtype: str = "float32"
     log_scale: float = 0.0
     prior_prob: float = 0.01
     early_fuse: bool = False  # EARLY_FUSE_ON: False in LPI configs

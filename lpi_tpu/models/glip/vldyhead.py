@@ -52,6 +52,7 @@ class Conv3x3Norm(nn.Module):
     dtype: jnp.dtype = jnp.float32
     deform_impl: str = "pallas"
     deform_window: int = 3
+    deform_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, offset=None, mask=None):
@@ -81,7 +82,8 @@ class Conv3x3Norm(nn.Module):
             elif self.deform_impl == "pallas":
                 y = deform_conv2d_pallas(x, offset, w, b, mask=mask,
                                          stride=self.stride,
-                                         max_offset=self.deform_window)
+                                         max_offset=self.deform_window,
+                                         compute_dtype=self.deform_dtype)
             elif self.deform_impl == "fused":
                 y = deform_conv2d_fused(x, offset, w, b, mask=mask,
                                         stride=self.stride,
@@ -131,18 +133,22 @@ class DyConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
     deform_impl: str = "pallas"
     deform_window: int = 3
+    deform_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         conv_same = Conv3x3Norm(self.out_channels, 1, self.use_deform,
                                 self.dtype, self.deform_impl,
-                                self.deform_window, name="conv_same")
+                                self.deform_window, self.deform_dtype,
+                                name="conv_same")
         conv_down = Conv3x3Norm(self.out_channels, 2, self.use_deform,
                                 self.dtype, self.deform_impl,
-                                self.deform_window, name="conv_down")
+                                self.deform_window, self.deform_dtype,
+                                name="conv_down")
         conv_up = Conv3x3Norm(self.out_channels, 1, self.use_deform,
                               self.dtype, self.deform_impl,
-                              self.deform_window, name="conv_up")
+                              self.deform_window, self.deform_dtype,
+                              name="conv_up")
         offset_conv = (
             nn.Conv(27, (3, 3), padding="SAME",
                     kernel_init=nn.initializers.normal(0.01), name="offset")
@@ -233,7 +239,9 @@ class VLDyHead(nn.Module):
                 use_dyfuse=c.use_dyfuse and (not first or in_ch == c.channels),
                 use_deform=c.use_dfconv and (not first or in_ch == c.channels),
                 dtype=self.dtype, deform_impl=c.deform_impl,
-                deform_window=c.deform_window, name=f"tower{i}")(x)
+                deform_window=c.deform_window,
+                deform_dtype=jnp.bfloat16 if c.deform_dtype == "bfloat16"
+                else jnp.float32, name=f"tower{i}")(x)
 
         bias_value = -math.log((1 - c.prior_prob) / c.prior_prob)
         A = self.num_anchors

@@ -242,6 +242,7 @@ def deform_conv2d_pallas(
     stride: int = 1,
     max_offset: int = 3,
     interpret: bool | None = None,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Matmul-first windowed deform conv with the displacement accumulation
     in a Pallas kernel (`ops/deform_window_kernel.py`).
@@ -272,7 +273,8 @@ def deform_conv2d_pallas(
             upm = jnp.repeat(jnp.repeat(mask, 2, axis=1), 2, axis=2)[:, :H, :W]
         full = deform_conv2d_pallas(features, up, weights, bias, mask=upm,
                                     stride=1, max_offset=max_offset,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    compute_dtype=compute_dtype)
         return full[:, ::2, ::2]
     if stride != 1:
         return deform_conv2d_fast_scan(features, offsets, weights, bias,
@@ -299,7 +301,11 @@ def deform_conv2d_pallas(
     def core(feats, weights, off, gate):
         w_all = weights.astype(jnp.float32).reshape(K, C, Cout)
         w_all = jnp.moveaxis(w_all, 0, 1).reshape(C, K * Cout)
-        h_all = jnp.einsum("bhwc,cf->bhwf", feats, w_all)
+        # compute_dtype=bf16 halves the product-map HBM stream — the kernel's
+        # measured bound (see `window_accumulate_taps`); the cast fuses into
+        # the matmul epilogue, and the kernel accumulates in fp32 either way
+        h_all = jnp.einsum("bhwc,cf->bhwf", feats,
+                           w_all).astype(compute_dtype)
         hp_all = jnp.pad(h_all,
                          ((0, 0), (m + 1, m + 2), (m + 1, m + 2), (0, 0)))
         oy = jnp.moveaxis(off[..., 0], 3, 1)  # [B, K, H, W]

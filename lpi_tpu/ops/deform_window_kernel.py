@@ -175,6 +175,10 @@ def _fwd_taps_kernel(hp_ref, oy_ref, ox_ref, g_ref, out_ref, *, m: int,
     # block unless d is within 1 of some offset value, so displacements
     # outside [min(o)-1, max(o)+1] contribute exactly zero. Trained DCN
     # offsets sit near 0 -> typically ~4 of (2m+2)^2 displacements survive.
+    # NOTE (round-4 profile): culling saves VPU work only — the hp block DMA
+    # happens per grid step regardless, and at DyHead shapes the kernel is
+    # DMA-bound, which is why zero-offset and trained-offset timings match.
+    # The bandwidth lever is the hp dtype (bf16 halves the stream).
     oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
     ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
 
@@ -191,7 +195,7 @@ def _fwd_taps_kernel(hp_ref, oy_ref, ox_ref, g_ref, out_ref, *, m: int,
             wy = _hat(oy, d_y)
             wx = _hat(ox, d_x)
             win = hp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :]
-            out_ref[0] += (g * wy * wx)[..., None] * win
+            out_ref[0] += (g * wy * wx)[..., None] * win.astype(jnp.float32)
 
         return carry
 
@@ -211,7 +215,7 @@ def _bwd_taps_kernel(hp_ref, oy_ref, ox_ref, g_ref, ct_ref, dhp_ref, doy_ref,
     ox = ox_ref[0, 0]
     g = g_ref[0, 0]
     ct = ct_ref[0]
-    dhp_ref[0] = jnp.zeros(dhp_ref.shape[1:], jnp.float32)
+    dhp_ref[0] = jnp.zeros(dhp_ref.shape[1:], dhp_ref.dtype)
 
     @pl.when(c_idx == 0)
     def _init():
@@ -237,9 +241,10 @@ def _bwd_taps_kernel(hp_ref, oy_ref, ox_ref, g_ref, ct_ref, dhp_ref, doy_ref,
             wx = _hat(ox, d_x)
             cur = dhp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :]
             dhp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :] = \
-                cur + (g * wy * wx)[..., None] * ct
+                (cur.astype(jnp.float32)
+                 + (g * wy * wx)[..., None] * ct).astype(dhp_ref.dtype)
             win = hp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :]
-            s = jnp.sum(ct * win, axis=-1)
+            s = jnp.sum(ct * win.astype(jnp.float32), axis=-1)
             doy_ref[0, 0] += g * _dhat(oy, d_y) * wx * s
             dox_ref[0, 0] += g * wy * _dhat(ox, d_x) * s
             dg_ref[0, 0] += wy * wx * s
@@ -280,10 +285,13 @@ def window_accumulate_taps(hp_all: jnp.ndarray, oy: jnp.ndarray,
                            ) -> jnp.ndarray:
     """All-taps windowed accumulation in one dispatch (module docstring).
 
-    hp_all [B, Ho+2m+kw, Wo+2m+kw, K*Cout] fp32: per-tap product maps
-    `feats @ W_k`, padded once (the tap base rides the in-kernel slice
-    start); oy/ox [B, K, Ho, Wo] clamped to [-m, m]; gate [B, K, Ho, Wo]
-    (DCNv2 sigmoid mask; pass ones for v1).
+    hp_all [B, Ho+2m+kw, Wo+2m+kw, K*Cout] fp32 OR bf16: per-tap product
+    maps `feats @ W_k`, padded once (the tap base rides the in-kernel slice
+    start); oy/ox [B, K, Ho, Wo] fp32 clamped to [-m, m]; gate
+    [B, K, Ho, Wo] fp32 (DCNv2 sigmoid mask; pass ones for v1). Output and
+    offset grads are fp32 regardless; dhp matches hp's dtype. bf16 hp
+    halves the kernel's HBM stream — the measured bound at DyHead shapes —
+    at ~1e-2 relative accuracy (accumulation stays fp32 in-kernel).
     """
     return _fwd_taps_impl(hp_all, oy, ox, gate, m, K, kw, interpret)
 
@@ -351,7 +359,7 @@ def _vjp_taps_bwd(m, K, kw, interpret, res, ct):
             pl.BlockSpec((1, Hp, Wp, tile), hp_map, memory_space=pltpu.VMEM),
             off_spec, off_spec, off_spec,
         ],
-        out_shape=[jax.ShapeDtypeStruct((B, Hp, Wp, KC), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((B, Hp, Wp, KC), hp_all.dtype),
                    jax.ShapeDtypeStruct((B, K, Ho, Wo), jnp.float32),
                    jax.ShapeDtypeStruct((B, K, Ho, Wo), jnp.float32),
                    jax.ShapeDtypeStruct((B, K, Ho, Wo), jnp.float32)],

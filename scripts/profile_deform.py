@@ -1,0 +1,89 @@
+"""Microbench the deform window kernel under zero vs honest offsets
+(VERDICT r3 #3: explain honest==zero before optimizing).
+
+Times `window_accumulate_taps` fwd and fwd+bwd alone at the P3@448 shape,
+with (a) exact-zero offsets (culls to 1 active displacement), (b) spread
++-2 px offsets (≈49 active). If the two times match, the kernel is bound by
+the unconditional hp-tile DMA, not the culled VPU math — the product-map
+representation's K*Cout streaming is the wall.
+
+Also times the full deform conv (matmul + pad + kernel) fwd+bwd per level
+shape to apportion the 137 ms step.
+
+Usage: python scripts/profile_deform.py
+"""
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpi_tpu.ops.deform_window_kernel import window_accumulate_taps
+from lpi_tpu.ops.deform_conv import deform_conv2d_pallas
+
+
+def timeit(fn, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_kernel(B=4, H=56, W=56, C=256, m=3, K=9, kw=3, dtype=jnp.float32):
+    Cout = C
+    Hp, Wp = H + 2 * m + kw, W + 2 * m + kw
+    rng = np.random.RandomState(0)
+    hp = jnp.asarray(rng.randn(B, Hp, Wp, K * Cout)).astype(dtype)
+    gate = jnp.ones((B, K, H, W), jnp.float32)
+    zero = jnp.zeros((B, K, H, W), jnp.float32)
+    spread = jnp.asarray(
+        np.clip(rng.randn(B, K, H, W) * 1.0 + rng.randn(1, K, 1, 1), -m, m)
+        .astype(np.float32))
+
+    hp_bytes = hp.size * hp.dtype.itemsize
+    f = jax.jit(partial(window_accumulate_taps, m=m, K=K, kw=kw,
+                        interpret=False))
+    for name, oy, ox in [("zero  ", zero, zero), ("spread", spread, spread)]:
+        dt = timeit(lambda: f(hp, oy, ox, gate))
+        print(f"fwd {name}: {dt*1e3:7.2f} ms  hp-read {hp_bytes/dt/1e9:6.0f} GB/s")
+
+    def fwd_bwd(oy, ox):
+        def loss(hp_, oy_, ox_):
+            return jnp.sum(window_accumulate_taps(hp_, oy_, ox_, gate, m, K, kw,
+                                                  False))
+        g = jax.grad(loss, argnums=(0, 1, 2))(hp, oy, ox)
+        return g[0]
+
+    fb = jax.jit(fwd_bwd)
+    for name, oy, ox in [("zero  ", zero, zero), ("spread", spread, spread)]:
+        dt = timeit(lambda: fb(oy, ox))
+        print(f"f+b {name}: {dt*1e3:7.2f} ms  3x hp {3*hp_bytes/dt/1e9:6.0f} GB/s")
+
+
+def bench_conv(B=4, H=56, W=56, C=256, dtype=jnp.float32):
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    offs = jnp.asarray((rng.randn(B, H, W, 18) * 1.0).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, C, C) * 0.05).astype(np.float32))
+
+    def loss(f_, o_, w_):
+        return jnp.sum(deform_conv2d_pallas(f_, o_, w_, compute_dtype=dtype))
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    dt = timeit(lambda: g(feats, offs, w))
+    print(f"deform conv f+b {H}x{W} {jnp.dtype(dtype).name}: {dt*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    for dt in (jnp.float32, jnp.bfloat16):
+        print(f"=== window_accumulate_taps P3@448 b4 hp={jnp.dtype(dt).name} ===")
+        bench_kernel(dtype=dt)
+    print("=== full deform conv f+b per level ===")
+    for H in (56, 28, 14):
+        for dt in (jnp.float32, jnp.bfloat16):
+            bench_conv(H=H, W=H, dtype=dt)

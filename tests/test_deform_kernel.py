@@ -260,3 +260,38 @@ class TestFusedDeform:
             interpret=True) ** 2))(jnp.asarray(feat))
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-2, rtol=1e-2)
+
+
+class TestDeformConvPallasBf16:
+    """bf16 product-map mode: same math, half the kernel's HBM stream.
+
+    `compute_dtype=bfloat16` stores the per-tap product maps (and their
+    cotangent) in bf16 while offsets and in-kernel accumulation stay fp32 —
+    must track the fp32 kernel to ~bf16 mantissa error."""
+
+    def test_fwd_and_grads_track_fp32(self, rng):
+        from lpi_tpu.ops.deform_conv import deform_conv2d_pallas
+
+        feat = jnp.asarray(rng.randn(2, 12, 12, 16).astype(np.float32))
+        w = jnp.asarray((rng.randn(3, 3, 16, 16) * 0.1).astype(np.float32))
+        off = jnp.asarray(((rng.rand(2, 12, 12, 18) * 2 - 1) * 1.5)
+                          .astype(np.float32))
+        mask = jnp.asarray(rng.randn(2, 12, 12, 9).astype(np.float32))
+
+        outs, grads = {}, {}
+        for dt in (jnp.float32, jnp.bfloat16):
+            outs[dt] = np.asarray(deform_conv2d_pallas(
+                feat, off, w, mask=mask, max_offset=2, interpret=True,
+                compute_dtype=dt))
+            grads[dt] = jax.grad(
+                lambda f, o: jnp.sum(deform_conv2d_pallas(
+                    f, o, w, mask=mask, max_offset=2, interpret=True,
+                    compute_dtype=dt) ** 2), argnums=(0, 1))(feat, off)
+        ref = outs[jnp.float32]
+        rel = np.linalg.norm(outs[jnp.bfloat16] - ref) / np.linalg.norm(ref)
+        assert rel < 1e-2, rel
+        for a, b, name in zip(grads[jnp.bfloat16], grads[jnp.float32],
+                              ("dfeat", "doff")):
+            gr = (np.linalg.norm(np.asarray(a) - np.asarray(b))
+                  / np.linalg.norm(np.asarray(b)))
+            assert gr < 2e-2, (name, gr)

@@ -114,6 +114,11 @@ GROUNDING_CFG = GroundingConfig(
                     pre_nms_top_n=50, fpn_post_nms_top_n=10),
     lpi=LPIPromptConfig(prompt_length=4, prompt_depth=9, prompt_rank=2,
                         interact_rank=2, interact_depth=9),
+    # GN FPN (the USE_GN config surface): tiny FROM-SCRATCH pretraining needs
+    # the normalization — the product default (plain conv+bias, faithful to
+    # the reference LPI configs, round-4 fix) assumes pretrained weights and
+    # measurably drops the gate's P@1 from ~74 to ~18
+    fpn_use_gn=True,
     total_tasks=N_TASKS, epochs_per_task=2, batch_size=4,
     # k=5 task-key clusters — the reference's KMeans(n_clusters=5)
     # (`generalized_vl_rcnn.py:471`); k=2 measurably degrades task-ID
