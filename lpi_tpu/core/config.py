@@ -161,10 +161,11 @@ class DyHeadConfig:
     deform_impl: str = "pallas"
     deform_window: int = 3
     # product-map dtype for the pallas deform impl: "bfloat16" halves the
-    # kernel's HBM stream (its measured bound at DyHead shapes — offsets
-    # and in-kernel accumulation stay fp32); "float32" is bit-exact vs the
-    # golden gather op
-    deform_dtype: str = "float32"
+    # kernel's HBM stream (offsets and in-kernel accumulation stay fp32;
+    # tracks fp32 to ~0.2% in fwd and grads) — measured 126.2 -> 112.4
+    # ms/step on the 448px/b4 train step (round-4 profile); "float32" is
+    # bit-exact vs the golden gather op
+    deform_dtype: str = "bfloat16"
     log_scale: float = 0.0
     prior_prob: float = 0.01
     early_fuse: bool = False  # EARLY_FUSE_ON: False in LPI configs

@@ -5,6 +5,7 @@ from lpi_tpu.ops.focal import sigmoid_focal_loss, token_sigmoid_focal_loss  # no
 from lpi_tpu.ops.deform_conv import (  # noqa: F401
     deform_conv2d,
     deform_conv2d_fast,
+    deform_conv2d_pallas,
     deform_conv2d_window,
 )
 from lpi_tpu.ops.deform_pool import deform_psroi_pool  # noqa: F401

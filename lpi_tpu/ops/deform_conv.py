@@ -252,47 +252,37 @@ def deform_conv2d_pallas(
     slice+FMA passes — ~9x64x fewer HLO ops (compile time) and one HBM
     round-trip of the product map per tap (runtime). Measured on v5e
     (6-conv tower fwd+bwd, P3@448px, b4): 128 ms/step vs 162 (unrolled
-    fast) / 492 (fast_scan), compile 113 s vs 420 / 102. stride must be 1
-    (the tower's stride-2 conv_down falls back to `deform_conv2d_fast_scan`).
-    `interpret=None` auto-selects: real kernel on tpu/axon, interpreter
-    elsewhere (CPU tests).
+    fast) / 492 (fast_scan), compile 113 s vs 420 / 102. stride 2 (the
+    tower's conv_down) runs the phase-split kernel
+    (`window_accumulate_taps_s2`): displacement loop at output res only,
+    instead of the old upsample-offsets trick's 4x input-res waste; other
+    strides fall back to `deform_conv2d_fast_scan`. `interpret=None`
+    auto-selects: real kernel on tpu/axon, interpreter elsewhere (CPU
+    tests).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
-    if stride == 2:
-        # run the stride-1 kernel at input resolution with nearest-upsampled
-        # offsets, then subsample: out_full[2y, 2x] is exactly the stride-2
-        # output. 4x arithmetic waste but stays on the fast kernel path (the
-        # fast_scan fallback measured ~4x slower per conv than the waste).
-        B, H, W, _ = features.shape
-        Ho = (H + 1) // 2
-        Wo = (W + 1) // 2
-        up = jnp.repeat(jnp.repeat(offsets, 2, axis=1), 2, axis=2)[:, :H, :W]
-        upm = None
-        if mask is not None:
-            upm = jnp.repeat(jnp.repeat(mask, 2, axis=1), 2, axis=2)[:, :H, :W]
-        full = deform_conv2d_pallas(features, up, weights, bias, mask=upm,
-                                    stride=1, max_offset=max_offset,
-                                    interpret=interpret,
-                                    compute_dtype=compute_dtype)
-        return full[:, ::2, ::2]
-    if stride != 1:
+    if stride not in (1, 2):
         return deform_conv2d_fast_scan(features, offsets, weights, bias,
                                        mask=mask, stride=stride,
                                        max_offset=max_offset)
-    from lpi_tpu.ops.deform_window_kernel import window_accumulate_taps
+    from lpi_tpu.ops.deform_window_kernel import (window_accumulate_taps,
+                                                  window_accumulate_taps_s2)
 
     B, H, W, C = features.shape
     kh, kw, _, Cout = weights.shape
     K = kh * kw
     m = max_offset
-    off = jnp.clip(offsets.reshape(B, H, W, K, 2).astype(jnp.float32), -m, m)
+    Ho = (H + stride - 1) // stride
+    Wo = (W + stride - 1) // stride
+    off = jnp.clip(offsets.reshape(B, Ho, Wo, K, 2).astype(jnp.float32),
+                   -m, m)
     gate = (jax.nn.sigmoid(mask.astype(jnp.float32)) if mask is not None
-            else jnp.ones((B, H, W, K), jnp.float32))
+            else jnp.ones((B, Ho, Wo, K), jnp.float32))
     feats = features.astype(jnp.float32)
 
-    # ONE tap-major matmul [B*H*W, C] x [C, K*Cout] on the MXU, padded once;
-    # the kernel handles all taps + displacements in a single dispatch.
+    # ONE tap-major matmul [B*H*W, C] x [C, K*Cout] on the MXU; the kernel
+    # handles all taps + displacements in a single dispatch.
     # jax.checkpoint: without it the [B,Hp,Wp,K*Cout] product map is saved
     # as a backward residual for EVERY conv (~585 MB each at 448px/b16 ->
     # 21.4 GB total, HBM OOM on the 16 GB chip); remat re-runs the cheap
@@ -301,17 +291,38 @@ def deform_conv2d_pallas(
     def core(feats, weights, off, gate):
         w_all = weights.astype(jnp.float32).reshape(K, C, Cout)
         w_all = jnp.moveaxis(w_all, 0, 1).reshape(C, K * Cout)
-        # compute_dtype=bf16 halves the product-map HBM stream — the kernel's
-        # measured bound (see `window_accumulate_taps`); the cast fuses into
-        # the matmul epilogue, and the kernel accumulates in fp32 either way
+        # compute_dtype=bf16 halves the product-map HBM stream (see
+        # `window_accumulate_taps`); the cast fuses into the matmul
+        # epilogue, and the kernel accumulates in fp32 either way
         h_all = jnp.einsum("bhwc,cf->bhwf", feats,
                            w_all).astype(compute_dtype)
-        hp_all = jnp.pad(h_all,
-                         ((0, 0), (m + 1, m + 2), (m + 1, m + 2), (0, 0)))
-        oy = jnp.moveaxis(off[..., 0], 3, 1)  # [B, K, H, W]
+        # per-tap (y, x) PRE-SHIFTED pad (kernel contract): tap k's slab is
+        # padded (m+1-ky, m+ky) x (m+1-kx, m+kx) so all taps share the
+        # static in-kernel slice starts; the slice+pad+concat fuses into
+        # one pass over h_all
+        hp_all = jnp.concatenate(
+            [jnp.pad(h_all[..., k * Cout:(k + 1) * Cout],
+                     ((0, 0), (m + 1 - k // kw, m + k // kw),
+                      (m + 1 - k % kw, m + k % kw), (0, 0)))
+             for k in range(K)], axis=-1)
+        oy = jnp.moveaxis(off[..., 0], 3, 1)  # [B, K, Ho, Wo]
         ox = jnp.moveaxis(off[..., 1], 3, 1)
         gk = jnp.moveaxis(gate, 3, 1)
-        return window_accumulate_taps(hp_all, oy, ox, gk, m, K, kw, interpret)
+        if stride == 1:
+            return window_accumulate_taps(hp_all, oy, ox, gk, m, K,
+                                          interpret)
+        # stride 2: space-to-depth the padded map into 4 parity phases and
+        # run the displacement loop at OUTPUT res only (the old
+        # upsample-offsets trick paid the full input-res loop, 4x waste)
+        Hp, Wp = hp_all.shape[1], hp_all.shape[2]
+        Hp2, Wp2 = (Hp + 1) // 2, (Wp + 1) // 2
+        hpe = jnp.pad(hp_all, ((0, 0), (0, 2 * Hp2 - Hp),
+                               (0, 2 * Wp2 - Wp), (0, 0)))
+        ph = hpe.reshape(B, Hp2, 2, Wp2, 2, K * Cout)
+        return window_accumulate_taps_s2(
+            ph[:, :, 0, :, 0], ph[:, :, 0, :, 1],
+            ph[:, :, 1, :, 0], ph[:, :, 1, :, 1],
+            oy, ox, gk, m, K, interpret)
 
     out = core(feats, weights, off, gate)
     if bias is not None:

@@ -155,14 +155,18 @@ def _bwd_kernel(hp_ref, oy_ref, ox_ref, ct_ref, dhp_ref, doy_ref, dox_ref, *,
 # --------------------------------------------------------------------------
 
 def _fwd_taps_kernel(hp_ref, oy_ref, ox_ref, g_ref, out_ref, *, m: int,
-                     Ho: int, Wo: int, kw: int):
-    """Grid (B, K, Cq). hp block = tap k's channel tile of the padded product
-    map (spatial origin NOT tap-aligned — the tap base (ky, kx) is added to
-    the displacement start in-kernel). Output accumulates over the K grid dim."""
-    k = pl.program_id(1)
+                     Ho: int, Wo: int):
+    """Grid (B, Cq, K). hp block = tap k's channel tile of its padded product
+    map with the tap's (y, x) base PRE-SHIFTED into the caller's pad: x
+    displacement slices are STATIC (the inner x loop is unrolled), so Mosaic
+    compiles them to cheap sublane shifts instead of per-step dynamic-slice
+    relayouts — the measured cost floor of the old flat (iy, ix) fori_loop —
+    and bf16 blocks become legal (dynamic sublane slices are fp32-only). The
+    y displacement is the bare loop var: a dynamic offset on the untiled
+    second-major dim is plain address arithmetic. Output accumulates over
+    the K grid dim (innermost — see `_fwd_taps_impl`)."""
+    k = pl.program_id(2)
     n = 2 * m + 2
-    ky = k // kw  # == kappa_y + 1 (pad offset), see caller's padding
-    kx = k % kw
     oy = oy_ref[0, 0]
     ox = ox_ref[0, 0]
     g = g_ref[0, 0]
@@ -174,43 +178,40 @@ def _fwd_taps_kernel(hp_ref, oy_ref, ox_ref, g_ref, out_ref, *, m: int,
     # tile-level displacement culling (EXACT): hat(o, d) == 0 for the whole
     # block unless d is within 1 of some offset value, so displacements
     # outside [min(o)-1, max(o)+1] contribute exactly zero. Trained DCN
-    # offsets sit near 0 -> typically ~4 of (2m+2)^2 displacements survive.
-    # NOTE (round-4 profile): culling saves VPU work only — the hp block DMA
-    # happens per grid step regardless, and at DyHead shapes the kernel is
-    # DMA-bound, which is why zero-offset and trained-offset timings match.
-    # The bandwidth lever is the hp dtype (bf16 halves the stream).
+    # offsets sit near 0 -> typically only the d=0,1 row/column band
+    # survives; the y-cull skips whole unrolled x-bands at once.
     oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
     ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
 
-    def body(i, carry):
-        iy = i // n
-        ix = i % n
+    def body(iy, carry):
         d_y = (iy - m).astype(jnp.float32)
-        d_x = (ix - m).astype(jnp.float32)
-        active = ((d_y > oy_lo - 1) & (d_y < oy_hi + 1) &
-                  (d_x > ox_lo - 1) & (d_x < ox_hi + 1))
+        y_active = (d_y > oy_lo - 1) & (d_y < oy_hi + 1)
 
-        @pl.when(active)
-        def _do():
-            wy = _hat(oy, d_y)
-            wx = _hat(ox, d_x)
-            win = hp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :]
-            out_ref[0] += (g * wy * wx)[..., None] * win.astype(jnp.float32)
+        @pl.when(y_active)
+        def _row():
+            gwy = g * _hat(oy, d_y)
+            for ix in range(n):  # static unroll: x starts are constants
+                d_x = float(ix - m)
+                x_active = (d_x > ox_lo - 1) & (d_x < ox_hi + 1)
+
+                @pl.when(x_active)
+                def _do(ix=ix, d_x=d_x):
+                    wx = _hat(ox, d_x)
+                    win = hp_ref[0, pl.ds(iy, Ho), ix:ix + Wo, :]
+                    out_ref[0] += (gwy * wx)[..., None] * win.astype(
+                        jnp.float32)
 
         return carry
 
-    jax.lax.fori_loop(0, n * n, body, 0)
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 def _bwd_taps_kernel(hp_ref, oy_ref, ox_ref, g_ref, ct_ref, dhp_ref, doy_ref,
-                     dox_ref, dg_ref, *, m: int, Ho: int, Wo: int, kw: int):
-    """Grid (B, K, Cq). One pass for dhp (per tap/tile), d(oy, ox, gate)
+                     dox_ref, dg_ref, *, m: int, Ho: int, Wo: int):
+    """Grid (B, Cq, K). One pass for dhp (per tap/tile), d(oy, ox, gate)
     (accumulated over channel tiles)."""
-    k = pl.program_id(1)
-    c_idx = pl.program_id(2)
+    c_idx = pl.program_id(1)
     n = 2 * m + 2
-    ky = k // kw
-    kx = k % kw
     oy = oy_ref[0, 0]
     ox = ox_ref[0, 0]
     g = g_ref[0, 0]
@@ -226,133 +227,142 @@ def _bwd_taps_kernel(hp_ref, oy_ref, ox_ref, g_ref, ct_ref, dhp_ref, doy_ref,
     oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
     ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
 
-    def body(i, carry):
-        iy = i // n
-        ix = i % n
+    def body(iy, carry):
         d_y = (iy - m).astype(jnp.float32)
-        d_x = (ix - m).astype(jnp.float32)
         # same exact culling as forward: hat and dhat share support
-        active = ((d_y > oy_lo - 1) & (d_y < oy_hi + 1) &
-                  (d_x > ox_lo - 1) & (d_x < ox_hi + 1))
+        y_active = (d_y > oy_lo - 1) & (d_y < oy_hi + 1)
 
-        @pl.when(active)
-        def _do():
+        @pl.when(y_active)
+        def _row():
             wy = _hat(oy, d_y)
-            wx = _hat(ox, d_x)
-            cur = dhp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :]
-            dhp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :] = \
-                (cur.astype(jnp.float32)
-                 + (g * wy * wx)[..., None] * ct).astype(dhp_ref.dtype)
-            win = hp_ref[0, pl.ds(ky + iy, Ho), pl.ds(kx + ix, Wo), :]
-            s = jnp.sum(ct * win.astype(jnp.float32), axis=-1)
-            doy_ref[0, 0] += g * _dhat(oy, d_y) * wx * s
-            dox_ref[0, 0] += g * wy * _dhat(ox, d_x) * s
-            dg_ref[0, 0] += wy * wx * s
+            dwy = _dhat(oy, d_y)
+            for ix in range(n):  # static unroll, pre-shifted x (see fwd)
+                d_x = float(ix - m)
+                x_active = (d_x > ox_lo - 1) & (d_x < ox_hi + 1)
+
+                @pl.when(x_active)
+                def _do(ix=ix, d_x=d_x):
+                    wx = _hat(ox, d_x)
+                    cur = dhp_ref[0, pl.ds(iy, Ho), ix:ix + Wo, :]
+                    dhp_ref[0, pl.ds(iy, Ho), ix:ix + Wo, :] = \
+                        (cur.astype(jnp.float32)
+                         + (g * wy * wx)[..., None] * ct).astype(dhp_ref.dtype)
+                    win = hp_ref[0, pl.ds(iy, Ho), ix:ix + Wo, :]
+                    s = jnp.sum(ct * win.astype(jnp.float32), axis=-1)
+                    doy_ref[0, 0] += g * dwy * wx * s
+                    dox_ref[0, 0] += g * wy * _dhat(ox, d_x) * s
+                    dg_ref[0, 0] += wy * wx * s
 
         return carry
 
-    jax.lax.fori_loop(0, n * n, body, 0)
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 def window_accumulate_taps_reference(hp_all: jnp.ndarray, oy: jnp.ndarray,
                                      ox: jnp.ndarray, gate: jnp.ndarray,
-                                     m: int, K: int, kw: int) -> jnp.ndarray:
-    """Semantics oracle. hp_all [B, Ho+2m+kw, Wo+2m+kw, K*Cout] (tap-major
-    channels); oy/ox/gate [B, K, Ho, Wo]; -> [B, Ho, Wo, Cout]."""
+                                     m: int, K: int) -> jnp.ndarray:
+    """Semantics oracle. hp_all [B, Ho+2m+1, Wo+2m+1, K*Cout] (tap-major
+    channels, each tap's (y, x) base PRE-SHIFTED into its pad — tap k's map
+    is padded (m+1-ky, m+ky) x (m+1-kx, m+kx) so every tap shares slice
+    starts); oy/ox/gate [B, K, Ho, Wo]; -> [B, Ho, Wo, Cout]."""
     B, Hp, Wp, KC = hp_all.shape
     Cout = KC // K
-    Ho = Hp - 2 * m - kw
-    Wo = Wp - 2 * m - kw
+    Ho = Hp - 2 * m - 1
+    Wo = Wp - 2 * m - 1
     out = jnp.zeros((B, Ho, Wo, Cout), jnp.float32)
     for k in range(K):
         hp = hp_all[..., k * Cout:(k + 1) * Cout]
-        ky, kx = k // kw, k % kw
         for dy in range(-m, m + 2):
             wy = _hat(oy[:, k], dy)
             for dx in range(-m, m + 2):
                 coeff = gate[:, k] * wy * _hat(ox[:, k], dx)
                 win = jax.lax.slice(
-                    hp, (0, ky + dy + m, kx + dx + m, 0),
-                    (B, ky + dy + m + Ho, kx + dx + m + Wo, Cout))
+                    hp, (0, dy + m, dx + m, 0),
+                    (B, dy + m + Ho, dx + m + Wo, Cout))
                 out = out + coeff[..., None] * win
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def window_accumulate_taps(hp_all: jnp.ndarray, oy: jnp.ndarray,
                            ox: jnp.ndarray, gate: jnp.ndarray, m: int,
-                           K: int, kw: int, interpret: bool = False
-                           ) -> jnp.ndarray:
+                           K: int, interpret: bool = False) -> jnp.ndarray:
     """All-taps windowed accumulation in one dispatch (module docstring).
 
-    hp_all [B, Ho+2m+kw, Wo+2m+kw, K*Cout] fp32 OR bf16: per-tap product
-    maps `feats @ W_k`, padded once (the tap base rides the in-kernel slice
-    start); oy/ox [B, K, Ho, Wo] fp32 clamped to [-m, m]; gate
-    [B, K, Ho, Wo] fp32 (DCNv2 sigmoid mask; pass ones for v1). Output and
-    offset grads are fp32 regardless; dhp matches hp's dtype. bf16 hp
-    halves the kernel's HBM stream — the measured bound at DyHead shapes —
-    at ~1e-2 relative accuracy (accumulation stays fp32 in-kernel).
+    hp_all [B, Ho+2m+1, Wo+2m+1, K*Cout] fp32 OR bf16: per-tap product
+    maps `feats @ W_k` with each tap's (y, x) base PRE-SHIFTED into its pad
+    (pads (m+1-ky, m+ky) x (m+1-kx, m+kx) per tap — see `_fwd_taps_kernel`
+    for why x must be static); oy/ox [B, K, Ho, Wo] fp32 clamped to
+    [-m, m]; gate [B, K, Ho, Wo] fp32 (DCNv2 sigmoid mask; pass ones for
+    v1). Output and offset grads are fp32 regardless; dhp matches hp's
+    dtype. bf16 hp halves the kernel's HBM stream at ~1e-2 relative
+    accuracy (accumulation stays fp32 in-kernel).
     """
-    return _fwd_taps_impl(hp_all, oy, ox, gate, m, K, kw, interpret)
+    return _fwd_taps_impl(hp_all, oy, ox, gate, m, K, interpret)
 
 
-def _fwd_taps_impl(hp_all, oy, ox, gate, m, K, kw, interpret):
+def _fwd_taps_impl(hp_all, oy, ox, gate, m, K, interpret):
     B, Hp, Wp, KC = hp_all.shape
     Cout = KC // K
-    Ho = Hp - 2 * m - kw
-    Wo = Wp - 2 * m - kw
+    Ho = Hp - 2 * m - 1
+    Wo = Wp - 2 * m - 1
     tile = _ctile(Cout, Hp * Wp, Ho * Wo)
     Cq = Cout // tile
 
-    def hp_map(b, k, c):
+    def hp_map(b, c, k):
         return (b, 0, 0, k * Cq + c)
 
-    off_spec = pl.BlockSpec((1, 1, Ho, Wo), lambda b, k, c: (b, k, 0, 0),
+    off_spec = pl.BlockSpec((1, 1, Ho, Wo), lambda b, c, k: (b, k, 0, 0),
                             memory_space=pltpu.VMEM)
+    # K innermost: the out block (b, c) is revisited on CONSECUTIVE grid
+    # steps, so the accumulator stays VMEM-resident across all K taps
+    # instead of a 2x-block HBM flush+reload per step.
     return pl.pallas_call(
-        partial(_fwd_taps_kernel, m=m, Ho=Ho, Wo=Wo, kw=kw),
-        grid=(B, K, Cq),
+        partial(_fwd_taps_kernel, m=m, Ho=Ho, Wo=Wo),
+        grid=(B, Cq, K),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tile, Hp * Wp, Ho * Wo)),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tile), hp_map, memory_space=pltpu.VMEM),
             off_spec, off_spec, off_spec,
         ],
-        out_specs=pl.BlockSpec((1, Ho, Wo, tile), lambda b, k, c: (b, 0, 0, c),
+        out_specs=pl.BlockSpec((1, Ho, Wo, tile), lambda b, c, k: (b, 0, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), jnp.float32),
         interpret=interpret,
     )(hp_all, oy, ox, gate)
 
 
-def _vjp_taps_fwd(hp_all, oy, ox, gate, m, K, kw, interpret):
-    return (_fwd_taps_impl(hp_all, oy, ox, gate, m, K, kw, interpret),
+def _vjp_taps_fwd(hp_all, oy, ox, gate, m, K, interpret):
+    return (_fwd_taps_impl(hp_all, oy, ox, gate, m, K, interpret),
             (hp_all, oy, ox, gate))
 
 
-def _vjp_taps_bwd(m, K, kw, interpret, res, ct):
+def _vjp_taps_bwd(m, K, interpret, res, ct):
     hp_all, oy, ox, gate = res
     B, Hp, Wp, KC = hp_all.shape
     Cout = KC // K
-    Ho = Hp - 2 * m - kw
-    Wo = Wp - 2 * m - kw
+    Ho = Hp - 2 * m - 1
+    Wo = Wp - 2 * m - 1
     tile = _ctile(Cout, 2 * Hp * Wp, Ho * Wo)  # bwd reads hp AND writes dhp
     Cq = Cout // tile
 
-    def hp_map(b, k, c):
+    def hp_map(b, c, k):
         return (b, 0, 0, k * Cq + c)
 
-    off_spec = pl.BlockSpec((1, 1, Ho, Wo), lambda b, k, c: (b, k, 0, 0),
+    off_spec = pl.BlockSpec((1, 1, Ho, Wo), lambda b, c, k: (b, k, 0, 0),
                             memory_space=pltpu.VMEM)
+    # K innermost keeps the ct block (b, c) VMEM-resident across taps (the
+    # offset-grad blocks that do hop with k are Ho*Wo scalars — cheap)
     dhp, doy, dox, dg = pl.pallas_call(
-        partial(_bwd_taps_kernel, m=m, Ho=Ho, Wo=Wo, kw=kw),
-        grid=(B, K, Cq),
+        partial(_bwd_taps_kernel, m=m, Ho=Ho, Wo=Wo),
+        grid=(B, Cq, K),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(tile, 2 * Hp * Wp, 2 * Ho * Wo)),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tile), hp_map, memory_space=pltpu.VMEM),
             off_spec, off_spec, off_spec,
-            pl.BlockSpec((1, Ho, Wo, tile), lambda b, k, c: (b, 0, 0, c),
+            pl.BlockSpec((1, Ho, Wo, tile), lambda b, c, k: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -369,6 +379,218 @@ def _vjp_taps_bwd(m, K, kw, interpret, res, ct):
 
 
 window_accumulate_taps.defvjp(_vjp_taps_fwd, _vjp_taps_bwd)
+
+
+# --------------------------------------------------------------------------
+# stride-2 phase-split kernels: displacement loop at OUTPUT resolution
+# --------------------------------------------------------------------------
+#
+# A stride-2 deform conv only needs every other output position, but the
+# upsample-offsets-then-subsample trick pays the full input-res displacement
+# loop (4x arithmetic waste). Phase split removes it: space-to-depth the
+# pre-shifted product map into 4 parity phases hp[p][q][i, j] =
+# hp[2i+p, 2j+q]; then the input row 2*y2 + iy decomposes as phase iy%2,
+# row y2 + iy//2 — a STATIC phase choice (x parity is static from the
+# unrolled ix; y parity is handled by unrolling both parities inside the
+# q-loop), so every displacement is again a cheap static-x / dynamic-y
+# slice, now over (Ho/2, Wo/2) blocks.
+
+def window_accumulate_taps_s2_reference(hp00, hp01, hp10, hp11, oy, ox,
+                                        gate, m: int, K: int) -> jnp.ndarray:
+    """Semantics oracle for the stride-2 phase kernel. hp{p}{q}
+    [B, Hp2, Wp2, K*Cout]: parity phases of the (y, x) pre-shifted padded
+    product map (even-padded); oy/ox/gate [B, K, Ho2, Wo2] at OUTPUT res
+    (offsets in input-pixel units); -> [B, Ho2, Wo2, Cout]."""
+    B, Hp2, Wp2, KC = hp00.shape
+    Cout = KC // K
+    Ho, Wo = oy.shape[2], oy.shape[3]
+    full = jnp.zeros((B, 2 * Hp2, 2 * Wp2, KC), hp00.dtype)
+    full = full.at[:, 0::2, 0::2].set(hp00).at[:, 0::2, 1::2].set(hp01)
+    full = full.at[:, 1::2, 0::2].set(hp10).at[:, 1::2, 1::2].set(hp11)
+    out = jnp.zeros((B, Ho, Wo, Cout), jnp.float32)
+    for k in range(K):
+        hp = full[..., k * Cout:(k + 1) * Cout]
+        for dy in range(-m, m + 2):
+            wy = _hat(oy[:, k], dy)
+            for dx in range(-m, m + 2):
+                coeff = gate[:, k] * wy * _hat(ox[:, k], dx)
+                win = jax.lax.slice(
+                    hp, (0, dy + m, dx + m, 0),
+                    (B, dy + m + 2 * Ho - 1, dx + m + 2 * Wo - 1, Cout),
+                    (1, 2, 2, 1))
+                out = out + coeff[..., None] * win.astype(jnp.float32)
+    return out
+
+
+def _fwd_taps_s2_kernel(hp00_ref, hp01_ref, hp10_ref, hp11_ref, oy_ref,
+                        ox_ref, g_ref, out_ref, *, m: int, Ho: int, Wo: int):
+    k = pl.program_id(2)
+    n = 2 * m + 2
+    oy = oy_ref[0, 0]
+    ox = ox_ref[0, 0]
+    g = g_ref[0, 0]
+    refs = ((hp00_ref, hp01_ref), (hp10_ref, hp11_ref))
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
+
+    oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
+    ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
+
+    def body(q, carry):
+        for p in (0, 1):  # iy = 2q + p: y parity is static per unrolled arm
+            d_y = (2 * q + p - m).astype(jnp.float32)
+            y_active = (d_y > oy_lo - 1) & (d_y < oy_hi + 1)
+
+            @pl.when(y_active)
+            def _row(p=p, d_y=d_y):
+                gwy = g * _hat(oy, d_y)
+                for ix in range(n):
+                    d_x = float(ix - m)
+                    x_active = (d_x > ox_lo - 1) & (d_x < ox_hi + 1)
+
+                    @pl.when(x_active)
+                    def _do(p=p, ix=ix, d_x=d_x, gwy=gwy):
+                        wx = _hat(ox, d_x)
+                        win = refs[p][ix % 2][
+                            0, pl.ds(q, Ho), ix // 2:ix // 2 + Wo, :]
+                        out_ref[0] += (gwy * wx)[..., None] * win.astype(
+                            jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, m + 1, body, 0)
+
+
+def _bwd_taps_s2_kernel(hp00_ref, hp01_ref, hp10_ref, hp11_ref, oy_ref,
+                        ox_ref, g_ref, ct_ref, dhp00_ref, dhp01_ref,
+                        dhp10_ref, dhp11_ref, doy_ref, dox_ref, dg_ref, *,
+                        m: int, Ho: int, Wo: int):
+    c_idx = pl.program_id(1)
+    n = 2 * m + 2
+    oy = oy_ref[0, 0]
+    ox = ox_ref[0, 0]
+    g = g_ref[0, 0]
+    ct = ct_ref[0]
+    refs = ((hp00_ref, hp01_ref), (hp10_ref, hp11_ref))
+    drefs = ((dhp00_ref, dhp01_ref), (dhp10_ref, dhp11_ref))
+    for dr in (dhp00_ref, dhp01_ref, dhp10_ref, dhp11_ref):
+        dr[0] = jnp.zeros(dr.shape[1:], dr.dtype)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        doy_ref[0, 0] = jnp.zeros((Ho, Wo), jnp.float32)
+        dox_ref[0, 0] = jnp.zeros((Ho, Wo), jnp.float32)
+        dg_ref[0, 0] = jnp.zeros((Ho, Wo), jnp.float32)
+
+    oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
+    ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
+
+    def body(q, carry):
+        for p in (0, 1):
+            d_y = (2 * q + p - m).astype(jnp.float32)
+            y_active = (d_y > oy_lo - 1) & (d_y < oy_hi + 1)
+
+            @pl.when(y_active)
+            def _row(p=p, d_y=d_y):
+                wy = _hat(oy, d_y)
+                dwy = _dhat(oy, d_y)
+                for ix in range(n):
+                    d_x = float(ix - m)
+                    x_active = (d_x > ox_lo - 1) & (d_x < ox_hi + 1)
+
+                    @pl.when(x_active)
+                    def _do(p=p, ix=ix, d_x=d_x, wy=wy, dwy=dwy):
+                        wx = _hat(ox, d_x)
+                        jx = ix // 2
+                        dref = drefs[p][ix % 2]
+                        cur = dref[0, pl.ds(q, Ho), jx:jx + Wo, :]
+                        dref[0, pl.ds(q, Ho), jx:jx + Wo, :] = \
+                            (cur.astype(jnp.float32)
+                             + (g * wy * wx)[..., None] * ct).astype(dref.dtype)
+                        win = refs[p][ix % 2][0, pl.ds(q, Ho), jx:jx + Wo, :]
+                        s = jnp.sum(ct * win.astype(jnp.float32), axis=-1)
+                        doy_ref[0, 0] += g * dwy * wx * s
+                        dox_ref[0, 0] += g * wy * _dhat(ox, d_x) * s
+                        dg_ref[0, 0] += wy * wx * s
+
+        return carry
+
+    jax.lax.fori_loop(0, m + 1, body, 0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def window_accumulate_taps_s2(hp00, hp01, hp10, hp11, oy, ox, gate, m: int,
+                              K: int, interpret: bool = False) -> jnp.ndarray:
+    """Stride-2 all-taps windowed accumulation over parity phases (see the
+    section comment). Same contracts as `window_accumulate_taps`, with
+    hp{p}{q} [B, Hp2, Wp2, K*Cout] requiring Hp2 >= Ho2 + m and
+    Wp2 >= Wo2 + m; oy/ox/gate at output res [B, K, Ho2, Wo2]."""
+    return _fwd_taps_s2_impl(hp00, hp01, hp10, hp11, oy, ox, gate, m, K,
+                             interpret)
+
+
+def _taps_s2_specs(hp00, oy, K, vmem_factor):
+    B, Hp2, Wp2, KC = hp00.shape
+    Cout = KC // K
+    Ho, Wo = oy.shape[2], oy.shape[3]
+    tile = _ctile(Cout, Hp2 * Wp2, Ho * Wo)
+    Cq = Cout // tile
+
+    def hp_map(b, c, k):
+        return (b, 0, 0, k * Cq + c)
+
+    hp_spec = pl.BlockSpec((1, Hp2, Wp2, tile), hp_map,
+                           memory_space=pltpu.VMEM)
+    off_spec = pl.BlockSpec((1, 1, Ho, Wo), lambda b, c, k: (b, k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, Ho, Wo, tile), lambda b, c, k: (b, 0, 0, c),
+                            memory_space=pltpu.VMEM)
+    limit = _vmem_limit(tile, vmem_factor * 4 * Hp2 * Wp2, Ho * Wo)
+    return B, Cout, Ho, Wo, tile, Cq, hp_spec, off_spec, out_spec, limit
+
+
+def _fwd_taps_s2_impl(hp00, hp01, hp10, hp11, oy, ox, gate, m, K, interpret):
+    (B, Cout, Ho, Wo, tile, Cq, hp_spec, off_spec, out_spec,
+     limit) = _taps_s2_specs(hp00, oy, K, 1)
+    return pl.pallas_call(
+        partial(_fwd_taps_s2_kernel, m=m, Ho=Ho, Wo=Wo),
+        grid=(B, Cq, K),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
+        in_specs=[hp_spec] * 4 + [off_spec] * 3,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), jnp.float32),
+        interpret=interpret,
+    )(hp00, hp01, hp10, hp11, oy, ox, gate)
+
+
+def _vjp_taps_s2_fwd(hp00, hp01, hp10, hp11, oy, ox, gate, m, K, interpret):
+    return (_fwd_taps_s2_impl(hp00, hp01, hp10, hp11, oy, ox, gate, m, K,
+                              interpret),
+            (hp00, hp01, hp10, hp11, oy, ox, gate))
+
+
+def _vjp_taps_s2_bwd(m, K, interpret, res, ct):
+    hp00, hp01, hp10, hp11, oy, ox, gate = res
+    (B, Cout, Ho, Wo, tile, Cq, hp_spec, off_spec, out_spec,
+     limit) = _taps_s2_specs(hp00, oy, K, 2)
+    KC = hp00.shape[-1]
+    hp_sds = jax.ShapeDtypeStruct(hp00.shape, hp00.dtype)
+    off_sds = jax.ShapeDtypeStruct(oy.shape, jnp.float32)
+    outs = pl.pallas_call(
+        partial(_bwd_taps_s2_kernel, m=m, Ho=Ho, Wo=Wo),
+        grid=(B, Cq, K),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
+        in_specs=[hp_spec] * 4 + [off_spec] * 3 + [out_spec],
+        out_specs=[hp_spec] * 4 + [off_spec] * 3,
+        out_shape=[hp_sds] * 4 + [off_sds] * 3,
+        interpret=interpret,
+    )(hp00, hp01, hp10, hp11, oy, ox, gate, ct)
+    return tuple(outs)
+
+
+window_accumulate_taps_s2.defvjp(_vjp_taps_s2_fwd, _vjp_taps_s2_bwd)
 
 
 def _ctile(C: int, hp_elems: int = 0, out_elems: int = 0) -> int:

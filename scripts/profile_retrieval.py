@@ -9,6 +9,7 @@ Segments the 107 ms step to find the MFU gap:
 Usage: python scripts/profile_retrieval.py [batch]
 """
 import sys
+sys.path.insert(0, "/root/repo")
 import time
 
 import jax

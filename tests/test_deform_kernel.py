@@ -133,18 +133,18 @@ class TestWindowAccumulateTaps:
         from lpi_tpu.ops.deform_window_kernel import (
             window_accumulate_taps, window_accumulate_taps_reference)
 
-        B, Ho, Wo, Cout, K, kw, m = 2, 5, 5, 8, 9, 3, 2
-        hp = rng.randn(B, Ho + 2 * m + kw, Wo + 2 * m + kw,
+        B, Ho, Wo, Cout, K, m = 2, 5, 5, 8, 9, 2
+        hp = rng.randn(B, Ho + 2 * m + 1, Wo + 2 * m + 1,
                        K * Cout).astype(np.float32)
         oy = ((rng.rand(B, K, Ho, Wo) * 2 - 1) * m).astype(np.float32)
         ox = ((rng.rand(B, K, Ho, Wo) * 2 - 1) * m).astype(np.float32)
         g = rng.rand(B, K, Ho, Wo).astype(np.float32)
         got = window_accumulate_taps(jnp.asarray(hp), jnp.asarray(oy),
                                      jnp.asarray(ox), jnp.asarray(g),
-                                     m, K, kw, True)
+                                     m, K, True)
         want = window_accumulate_taps_reference(
             jnp.asarray(hp), jnp.asarray(oy), jnp.asarray(ox),
-            jnp.asarray(g), m, K, kw)
+            jnp.asarray(g), m, K)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-4)
 
@@ -152,8 +152,8 @@ class TestWindowAccumulateTaps:
         from lpi_tpu.ops.deform_window_kernel import (
             window_accumulate_taps, window_accumulate_taps_reference)
 
-        B, Ho, Wo, Cout, K, kw, m = 1, 4, 4, 8, 4, 2, 1
-        hp = jnp.asarray(rng.randn(B, Ho + 2 * m + kw, Wo + 2 * m + kw,
+        B, Ho, Wo, Cout, K, m = 1, 4, 4, 8, 4, 1
+        hp = jnp.asarray(rng.randn(B, Ho + 2 * m + 1, Wo + 2 * m + 1,
                                    K * Cout).astype(np.float32))
         oy = jnp.asarray(((rng.rand(B, K, Ho, Wo) * 2 - 1) * m)
                          .astype(np.float32))
@@ -163,12 +163,12 @@ class TestWindowAccumulateTaps:
         seed = jnp.asarray(rng.randn(B, Ho, Wo, Cout).astype(np.float32))
 
         def lk(h, y, x, gg):
-            return jnp.sum(window_accumulate_taps(h, y, x, gg, m, K, kw,
+            return jnp.sum(window_accumulate_taps(h, y, x, gg, m, K,
                                                   True) * seed)
 
         def lr(h, y, x, gg):
             return jnp.sum(window_accumulate_taps_reference(
-                h, y, x, gg, m, K, kw) * seed)
+                h, y, x, gg, m, K) * seed)
 
         gk = jax.grad(lk, argnums=(0, 1, 2, 3))(hp, oy, ox, g)
         gr = jax.grad(lr, argnums=(0, 1, 2, 3))(hp, oy, ox, g)
@@ -295,3 +295,80 @@ class TestDeformConvPallasBf16:
             gr = (np.linalg.norm(np.asarray(a) - np.asarray(b))
                   / np.linalg.norm(np.asarray(b)))
             assert gr < 2e-2, (name, gr)
+
+
+class TestWindowAccumulateTapsS2:
+    """Stride-2 phase-split kernel vs its strided-slice oracle."""
+
+    def test_fwd_and_grads_match_reference(self, rng):
+        from lpi_tpu.ops.deform_window_kernel import (
+            window_accumulate_taps_s2, window_accumulate_taps_s2_reference)
+
+        B, Ho, Wo, Cout, K, m = 1, 4, 4, 8, 4, 1
+        Hp2 = Ho + m + 1
+        hps = [jnp.asarray(rng.randn(B, Hp2, Hp2, K * Cout)
+                           .astype(np.float32)) for _ in range(4)]
+        oy = jnp.asarray(((rng.rand(B, K, Ho, Wo) * 2 - 1) * m)
+                         .astype(np.float32))
+        ox = jnp.asarray(((rng.rand(B, K, Ho, Wo) * 2 - 1) * m)
+                         .astype(np.float32))
+        g = jnp.asarray(rng.rand(B, K, Ho, Wo).astype(np.float32))
+        seed = jnp.asarray(rng.randn(B, Ho, Wo, Cout).astype(np.float32))
+
+        got = window_accumulate_taps_s2(*hps, oy, ox, g, m, K, True)
+        want = window_accumulate_taps_s2_reference(*hps, oy, ox, g, m, K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+        def lk(h0, h1, h2, h3, y, x, gg):
+            return jnp.sum(window_accumulate_taps_s2(
+                h0, h1, h2, h3, y, x, gg, m, K, True) * seed)
+
+        def lr(h0, h1, h2, h3, y, x, gg):
+            return jnp.sum(window_accumulate_taps_s2_reference(
+                h0, h1, h2, h3, y, x, gg, m, K) * seed)
+
+        args = (*hps, oy, ox, g)
+        gk = jax.grad(lk, argnums=tuple(range(7)))(*args)
+        gr = jax.grad(lr, argnums=tuple(range(7)))(*args)
+        names = ("dhp00", "dhp01", "dhp10", "dhp11", "doy", "dox", "dg")
+        for a, b, name in zip(gk, gr, names):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4, err_msg=name)
+
+    def test_conv_stride2_odd_input_matches_fast(self, rng):
+        # odd input side (the P6->P7 conv_down case, 7 -> 4)
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_pallas)
+
+        feat = rng.randn(2, 7, 7, 8).astype(np.float32)
+        w = rng.randn(3, 3, 8, 8).astype(np.float32)
+        offsets = ((rng.rand(2, 4, 4, 18) * 2 - 1) * 1.5).astype(np.float32)
+        mask = rng.randn(2, 4, 4, 9).astype(np.float32)
+        a = np.asarray(deform_conv2d_fast(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            mask=jnp.asarray(mask), stride=2, max_offset=2))
+        b = np.asarray(deform_conv2d_pallas(
+            jnp.asarray(feat), jnp.asarray(offsets), jnp.asarray(w),
+            mask=jnp.asarray(mask), stride=2, max_offset=2, interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_conv_stride2_grads_match_fast(self, rng):
+        from lpi_tpu.ops.deform_conv import (deform_conv2d_fast,
+                                             deform_conv2d_pallas)
+
+        feat = jnp.asarray(rng.randn(1, 8, 8, 8).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32))
+        off = jnp.asarray(((rng.rand(1, 4, 4, 18) * 2 - 1) * 1.5)
+                          .astype(np.float32))
+
+        ga = jax.grad(lambda f, o: jnp.sum(
+            deform_conv2d_fast(f, o, w, stride=2, max_offset=2) ** 2),
+            argnums=(0, 1))(feat, off)
+        gb = jax.grad(lambda f, o: jnp.sum(
+            deform_conv2d_pallas(f, o, w, stride=2, max_offset=2,
+                                 interpret=True) ** 2),
+            argnums=(0, 1))(feat, off)
+        for a, b, name in zip(ga, gb, ("dfeat", "doff")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3, err_msg=name)
