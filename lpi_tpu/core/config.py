@@ -195,6 +195,20 @@ class ATSSConfig:
 
 
 @dataclass(frozen=True)
+class KnowledgeConfig:
+    """GLIP-KNOW knowledge prompts (reference `defaults.py:872-879`,
+    GLIPKNOW.*; off in every LPI config)."""
+
+    knowledge_file: str = ""  # KNOWLEDGE_FILE
+    knowledge_type: str = ""  # KNOWLEDGE_TYPE: "" | def_wiki | gpt3 | ...
+    max_classes_per_batch: int = -1  # MAX_NUM_CLASSES_PER_BATCH_TRAIN
+    parallel_language_input: bool = False  # PARALLEL_LANGUAGE_INPUT
+    lan_feature_agg_type: str = "first"  # LAN_FEATURE_AGG_TYPE: first | mean
+    gpt3_num: int = 5  # GPT3_NUM
+    wiki_and_gpt3: bool = False  # WIKI_AND_GPT3
+
+
+@dataclass(frozen=True)
 class GroundingConfig:
     """Continual grounding run (reference finetune_A_decompose_interact_layer_task.yaml)."""
 
@@ -222,6 +236,7 @@ class GroundingConfig:
     fused_scan_unroll: int = 1  # see FusedDualEncoder.scan_unroll
     max_boxes: int = 100  # static padding of per-image GT boxes
     dtype: str = "bfloat16"
+    knowledge: KnowledgeConfig = field(default_factory=KnowledgeConfig)
 
 
 @dataclass(frozen=True)

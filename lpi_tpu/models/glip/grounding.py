@@ -77,23 +77,18 @@ class GroundedVLModel(nn.Module):
             raise ValueError(f"unsupported grounding prompt_type {c.lpi.prompt_type!r}")
 
     # ------------------------------------------------------------------
-    def _run(self, images, input_ids, attention_mask, vis_p, txt_p, task_id):
+    def _head_flat(self, feats, embedded, masks, hidden, B):
+        """FPN features + language features -> flat head outputs + anchors."""
         c = self.cfg
-        language, outs = self.encoder(images, input_ids, attention_mask,
-                                      vis_p, txt_p, task_id,
-                                      num_pooled_layers=c.bert.num_pooled_layers)
-        feats = self.fpn(outs)
-        embedded = language["embedded"]
         if c.dyhead.add_linear_layer:
             embedded = self.tunable_linear(embedded)
-        hidden = language["hidden"] if c.dyhead.early_fuse else None
-        head_out = self.head(feats, embedded, attention_mask, hidden)
+        head_out = self.head(feats, embedded, masks,
+                             hidden if c.dyhead.early_fuse else None)
         shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
         anchors_np, counts = concat_anchors(
             shapes, strides=c.atss.anchor_strides, sizes=c.atss.anchor_sizes,
             aspect_ratios=c.atss.aspect_ratios)
-        B = images.shape[0]
-        flat = {
+        return {
             "bbox_pred": jnp.concatenate(
                 [p.reshape(B, -1, 4) for p in head_out["bbox_pred"]], axis=1),
             "centerness": jnp.concatenate(
@@ -102,6 +97,16 @@ class GroundedVLModel(nn.Module):
             "anchors": jnp.asarray(anchors_np),
             "level_counts": counts,
         }
+
+    def _run(self, images, input_ids, attention_mask, vis_p, txt_p, task_id):
+        c = self.cfg
+        language, outs = self.encoder(images, input_ids, attention_mask,
+                                      vis_p, txt_p, task_id,
+                                      num_pooled_layers=c.bert.num_pooled_layers)
+        feats = self.fpn(outs)
+        hidden = language["hidden"] if c.dyhead.early_fuse else None
+        flat = self._head_flat(feats, language["embedded"], attention_mask,
+                               hidden, images.shape[0])
         return flat, language
 
     def __call__(self, images, input_ids, attention_mask, task_id=0):
@@ -123,6 +128,58 @@ class GroundedVLModel(nn.Module):
         txt_b = jnp.take(txt_all, task_ids, axis=0)
         flat, language = self._run(images, input_ids, attention_mask,
                                    vis_b, txt_b, task_ids[0])
+        return flat, language
+
+    def forward_knowledge(self, images, class_input_ids, class_attention_mask,
+                          agg_type: str = "first"):
+        """GLIPKNOW parallel-language detection forward
+        (`generalized_vl_rcnn.py:516-660`, PARALLEL_LANGUAGE_INPUT).
+
+        `class_input_ids`/`class_attention_mask` [N_cls+1, L] tokenize the
+        knowledge-augmented per-class captions (last row = the empty [NoObj]
+        caption, `:599-600`); they are encoded ONCE — not per image — and
+        aggregated to one vector per class ('first' = CLS token, 'mean' =
+        mask-weighted mean, `:588-601`). The class axis then plays the token
+        axis in the dot-product head, with the [NoObj] slot masked out of
+        the attention mask (`:653-658`).
+
+        The promptless fused encoder IS a plain BERT pass for the language
+        stream: injection and interaction are statically gated off without
+        prompts, so no visual information leaks into the caption encodings
+        (the dummy image batch only satisfies the lockstep signature).
+        """
+        c = self.cfg
+        N = class_input_ids.shape[0]
+        B = images.shape[0]
+        Dt = c.bert.hidden_size
+        dummy_img = jnp.zeros((N, 64, 64, 3), images.dtype)
+        lang, _ = self.encoder(dummy_img, class_input_ids,
+                               class_attention_mask, None, None, 0,
+                               num_pooled_layers=c.bert.num_pooled_layers)
+        if agg_type == "first":
+            agg_emb = lang["embedded"][:, 0]
+            agg_hid = lang["hidden"][:, 0]
+        elif agg_type == "mean":
+            m = class_attention_mask[..., None].astype(lang["hidden"].dtype)
+            denom = jnp.maximum(m.sum(1), 1.0)
+            agg_emb = lang["aggregate"]  # already the masked mean of embedded
+            agg_hid = (lang["hidden"] * m).sum(1) / denom
+        else:
+            raise ValueError(
+                f"unsupported lan_feature_agg_type {agg_type!r}")
+
+        embedded = jnp.broadcast_to(agg_emb[None], (B, N, Dt))
+        hidden = jnp.broadcast_to(agg_hid[None], (B, N, Dt))
+        masks = jnp.ones((B, N), class_attention_mask.dtype)
+        masks = masks.at[:, -1].set(0)  # [NoObj] masked out (`:653-658`)
+
+        dummy_ids = jnp.zeros((B, 4), jnp.int32)
+        dummy_mask = jnp.ones((B, 4))
+        _, outs = self.encoder(images, dummy_ids, dummy_mask, None, None, 0)
+        feats = self.fpn(outs)
+        flat = self._head_flat(feats, embedded, masks, hidden, B)
+        language = {"aggregate": None, "embedded": embedded,
+                    "masks": masks, "hidden": hidden}
         return flat, language
 
     def extract_features(self, images) -> jnp.ndarray:

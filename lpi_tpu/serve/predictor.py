@@ -112,6 +112,7 @@ class GroundingPredictor:
             {"params": p}, im, ids, m, t, method=model.forward_tasks))
         self._extract = jax.jit(lambda p, im: model.apply(
             {"params": p}, im, method=model.extract_features))
+        self._fwd_know = {}  # agg_type -> jitted forward_knowledge
 
     def _prepare_image(self, image: np.ndarray):
         """Match the train/eval pipeline exactly (`data/transforms.py`):
@@ -169,6 +170,59 @@ class GroundingPredictor:
                 "positions; consider raising deform_window or "
                 "deform_impl='exact'", 100 * worst)
         return worst
+
+    def predict_classes(self, image: np.ndarray, class_names: Sequence[str],
+                        knowledge: Optional[dict] = None,
+                        knowledge_type: str = "", gpt3_num: int = 5,
+                        wiki_and_gpt3: bool = False,
+                        agg_type: str = "first") -> dict:
+        """GLIP-KNOW detection-mode inference (PARALLEL_LANGUAGE_INPUT,
+        `generalized_vl_rcnn.py:516-660`): class names — optionally expanded
+        into knowledge-augmented captions — are encoded ONCE as parallel
+        language inputs, one slot per class plus the trailing [NoObj]
+        caption; each class slot maps to itself in the positive map."""
+        from lpi_tpu.data.knowledge import construct_knowledge_captions
+        from lpi_tpu.models.glip.postprocess import atss_postprocess
+
+        caps = construct_knowledge_captions(
+            class_names, knowledge, knowledge_type=knowledge_type,
+            gpt3_num=gpt3_num, wiki_and_gpt3=wiki_and_gpt3)
+        caps = list(caps) + [""]  # [NoObj] slot (`:599-600`)
+        ids, mask, _ = self.tokenizer(caps)
+        canvas, (sx, sy) = self._prepare_image(image)
+        if agg_type not in self._fwd_know:
+            self._fwd_know[agg_type] = jax.jit(
+                lambda p, im, i, m: self.model.apply(
+                    {"params": p}, im, i, m, agg_type,
+                    method=self.model.forward_knowledge))
+        flat, _ = self._fwd_know[agg_type](
+            self.params, jnp.asarray(canvas), jnp.asarray(ids),
+            jnp.asarray(mask))
+        counts = tuple(int(c) for c in flat["level_counts"])
+        label_map = np.eye(len(class_names), len(class_names) + 1,
+                           dtype=np.float32)
+        kw = {}
+        if self.atss_cfg is not None:
+            kw = dict(pre_nms_top_n=min(self.atss_cfg.pre_nms_top_n,
+                                        flat["anchors"].shape[0]),
+                      post_nms_top_n=min(self.atss_cfg.fpn_post_nms_top_n,
+                                         flat["anchors"].shape[0]),
+                      nms_thresh=self.atss_cfg.nms_thresh,
+                      pre_nms_thresh=self.atss_cfg.inference_thresh)
+        out = atss_postprocess(
+            flat["anchors"], counts, flat["bbox_pred"][0], flat["centerness"][0],
+            flat["dot_logits"][0], jnp.asarray(label_map),
+            image_size=(self.image_size, self.image_size), **kw)
+        valid = np.asarray(out["valid"]) & (np.asarray(out["scores"]) > self.score_thresh)
+        boxes = np.asarray(out["boxes"])[valid] / np.asarray(
+            [sx, sy, sx, sy], np.float32)
+        labels = np.asarray(out["labels"])[valid]
+        return {
+            "boxes": boxes,
+            "scores": np.asarray(out["scores"])[valid],
+            "entities": [class_names[l - 1] if 0 < l <= len(class_names)
+                         else "?" for l in labels],
+        }
 
     def predict(self, image: np.ndarray, caption: str,
                 custom_entity: Optional[str] = None) -> dict:
