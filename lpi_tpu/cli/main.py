@@ -65,12 +65,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     d = sub.add_parser("predict", help="grounding demo on one image (GLIPDemo)")
     d.add_argument("image")
-    d.add_argument("caption")
+    d.add_argument("caption", nargs="?", default=None,
+                   help="grounding caption; omit when using --classes")
     d.add_argument("--config", default=None)
     d.add_argument("--checkpoint-dir", default=None)
     d.add_argument("--bert-vocab", default=None)
     d.add_argument("--output", default="prediction.png")
     d.add_argument("--thresh", type=float, default=0.5)
+    d.add_argument("--classes", default=None,
+                   help="comma-separated class names: detection mode via the "
+                   "GLIP-KNOW parallel-language path instead of a caption")
+    d.add_argument("--knowledge-file", default=None,
+                   help="GLIPKNOW knowledge json expanding --classes into "
+                   "knowledge-augmented captions (cfg.grounding.knowledge "
+                   "sets type/gpt3_num/wiki_and_gpt3)")
 
     s = sub.add_parser("serve", help="launch the gradio grounding webui")
     s.add_argument("--config", default=None)
@@ -342,7 +350,21 @@ def cmd_predict(args) -> dict:
                                    tok, image_size=gcfg.image_size,
                                    score_thresh=args.thresh, atss_cfg=gcfg.atss)
     image = np.asarray(Image.open(args.image).convert("RGB"))
-    result = predictor.predict(image, args.caption)
+    if args.classes:
+        from lpi_tpu.data.knowledge import load_knowledge_file
+
+        know = (load_knowledge_file(args.knowledge_file)
+                if args.knowledge_file else None)
+        kc = gcfg.knowledge
+        result = predictor.predict_classes(
+            image, [c.strip() for c in args.classes.split(",") if c.strip()],
+            knowledge=know, knowledge_type=kc.knowledge_type,
+            gpt3_num=kc.gpt3_num, wiki_and_gpt3=kc.wiki_and_gpt3,
+            agg_type=kc.lan_feature_agg_type)
+    elif args.caption:
+        result = predictor.predict(image, args.caption)
+    else:
+        raise SystemExit("predict needs a caption or --classes")
     draw_predictions(image, result).save(args.output)
     print(json.dumps({
         "entities": result["entities"],

@@ -83,6 +83,9 @@ class CLIPConfig:
     n_ctx: int = 16  # CoOp context length (cfgc.NCTX, prompt_learner.py:224)
     class_token_position: str = "end"
     logit_scale_init: float = 4.6052  # ln(100), OpenAI CLIP init
+    # 'xla' = jax.nn.dot_product_attention; 'flash' = Pallas TPU flash
+    # kernel (lpi_tpu/ops/flash_attn.py) — logits stay in VMEM
+    attn_impl: str = "xla"
 
 
 @dataclass(frozen=True)

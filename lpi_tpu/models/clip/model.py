@@ -41,14 +41,20 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 class MultiheadAttention(nn.Module):
     """Packed-QKV multi-head attention (matches torch nn.MultiheadAttention
-    layout so OpenAI checkpoints convert 1:1)."""
+    layout so OpenAI checkpoints convert 1:1).
+
+    `attn_impl='flash'` swaps the score/softmax/value chain for the Pallas
+    TPU flash kernel (`lpi_tpu.ops.flash_attn`) — same math, logits stay in
+    VMEM instead of round-tripping HBM."""
 
     width: int
     heads: int
+    causal: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, S, D = x.shape
         H = self.heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
@@ -56,7 +62,16 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(B, S, H, D // H)
         k = k.reshape(B, S, H, D // H)
         v = v.reshape(B, S, H, D // H)
-        out = jax.nn.dot_product_attention(q, k, v, mask=mask, is_causal=False)
+        if self.attn_impl == "flash":
+            from lpi_tpu.ops.flash_attn import flash_mha
+
+            out = flash_mha(q, k, v, causal=self.causal)
+        else:
+            mask = None
+            if self.causal:
+                mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+            out = jax.nn.dot_product_attention(q, k, v, mask=mask,
+                                               is_causal=False)
         out = out.reshape(B, S, D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
@@ -68,15 +83,13 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     causal: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mask = None
-        if self.causal:
-            S = x.shape[1]
-            mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
-        x = x + MultiheadAttention(self.width, self.heads, self.dtype, name="attn")(h, mask)
+        x = x + MultiheadAttention(self.width, self.heads, self.causal,
+                                   self.dtype, self.attn_impl, name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(h)
         h = quick_gelu(h)
@@ -97,6 +110,7 @@ class PromptedBlock(nn.Module):
     causal: bool = False
     token_offset: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, scan_in):
@@ -106,12 +120,13 @@ class PromptedBlock(nn.Module):
         patch = x[:, o:o + P] + gate * prompt_l.astype(x.dtype)
         x = jax.lax.dynamic_update_slice_in_dim(x, patch, o, axis=1)
         x = ResidualAttentionBlock(self.width, self.heads, self.causal,
-                                   self.dtype, name="block")(x)
+                                   self.dtype, self.attn_impl, name="block")(x)
         return x, None
 
 
 def _scan_tower(name: str, width: int, heads: int, layers: int, causal: bool,
-                dtype, x: jnp.ndarray, prompts: jnp.ndarray, gates: jnp.ndarray):
+                dtype, x: jnp.ndarray, prompts: jnp.ndarray, gates: jnp.ndarray,
+                attn_impl: str = "xla"):
     """Run `layers` blocks as nn.scan with per-layer prompt injection."""
     tower = nn.scan(
         PromptedBlock,
@@ -119,7 +134,8 @@ def _scan_tower(name: str, width: int, heads: int, layers: int, causal: bool,
         split_rngs={"params": True},
         length=layers,
         in_axes=0,
-    )(width=width, heads=heads, causal=causal, dtype=dtype, name=name)
+    )(width=width, heads=heads, causal=causal, dtype=dtype,
+      attn_impl=attn_impl, name=name)
     x, _ = tower(x, (prompts, gates))
     return x
 
@@ -185,7 +201,7 @@ class VisionTransformer(nn.Module):
             length=c.vision_layers,
             in_axes=0,
         )(width=c.vision_width, heads=c.vision_heads, causal=False,
-          dtype=self.dtype, name="transformer")
+          dtype=self.dtype, attn_impl=c.attn_impl, name="transformer")
         self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")
         self.proj = self.param("proj", nn.initializers.normal(scale),
                                (c.vision_width, c.embed_dim))
@@ -265,7 +281,8 @@ class TextTransformer(nn.Module):
             prompts, gates = _no_prompts(c.text_layers, B, D, self.dtype)
 
         x = _scan_tower("transformer", c.text_width, c.text_heads,
-                        c.text_layers, True, self.dtype, x, prompts, gates)
+                        c.text_layers, True, self.dtype, x, prompts, gates,
+                        attn_impl=c.attn_impl)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
 
         eot = jnp.argmax(token_ids, axis=-1)  # EOT has the largest token id

@@ -1,0 +1,76 @@
+"""Sweep retrieval train-step variants on the real chip (VERDICT r3 #4).
+
+Variants: attn_impl {xla, flash} x batch {64, 128}. Prints a table of
+samples/s + ms/step for each so the winning default is a measured choice.
+
+Usage: python scripts/sweep_retrieval.py [iters]
+"""
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(cfg, batch, iters):
+    from lpi_tpu.continual.learner import RetrievalLearner, _split_params
+
+    cfg = dataclasses.replace(cfg, batch_size=batch)
+    rng = np.random.RandomState(0)
+    images = rng.randn(batch, 224, 224, 3).astype(np.float32)
+    ids = rng.randint(1, 49000, size=(batch, 77)).astype(np.int32)
+    ids[:, 0] = 49406
+    ids[:, -1] = 49407
+
+    learner = RetrievalLearner(cfg)
+    tx, step = learner._make_train_step(task_id=0, steps_per_epoch=100,
+                                        epochs=cfg.epochs)
+    pools, frozen = _split_params(learner.params)
+    opt_state = tx.init(pools)
+    b = {"images": jnp.asarray(images), "token_ids": jnp.asarray(ids)}
+
+    pools, opt_state, metrics = step(pools, opt_state, frozen, b)
+    total0 = float(metrics["total"])  # compile + real barrier (host fetch)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pools, opt_state, metrics = step(pools, opt_state, frozen, b)
+    float(metrics["total"])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, dt / iters * 1e3, total0
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    from lpi_tpu.core.config import RetrievalConfig
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lpi_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    base = RetrievalConfig()
+    rows = []
+    for attn in ("xla", "flash"):
+        for batch in (64, 128):
+            cfg = dataclasses.replace(
+                base, clip=dataclasses.replace(base.clip, attn_impl=attn))
+            try:
+                sps, ms, loss0 = measure(cfg, batch, iters)
+                rows.append((attn, batch, sps, ms, loss0))
+                print(f"attn={attn:5s} b={batch:3d}: {sps:8.1f} samples/s  "
+                      f"{ms:7.2f} ms/step  loss0={loss0:.4f}", flush=True)
+            except Exception as e:
+                print(f"attn={attn:5s} b={batch:3d}: FAILED {str(e)[-200:]}",
+                      flush=True)
+    if rows:
+        best = max(rows, key=lambda r: r[2])
+        print(f"\nbest: attn={best[0]} b={best[1]} -> {best[2]:.1f} samples/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -184,6 +184,37 @@ class TestParallelLanguageForward:
                         method=model.forward_knowledge)
 
 
+class TestCliDetectionMode:
+    def test_predict_classes_cli(self, tmp_path):
+        """`cli predict --classes --knowledge-file`: detection mode end to
+        end through config loading (incl. the nested `knowledge` block)."""
+        import json
+
+        from PIL import Image
+
+        from lpi_tpu.cli.main import main
+        from lpi_tpu.core.config import to_dict
+
+        cfg_path = tmp_path / "cfg.json"
+        with open(cfg_path, "w") as f:
+            json.dump({"grounding": to_dict(TINY)}, f)
+        know_path = tmp_path / "know.json"
+        with open(know_path, "w") as f:
+            json.dump(KNOW, f)
+        img_path = tmp_path / "img.png"
+        rng = np.random.RandomState(0)
+        Image.fromarray((rng.rand(48, 80, 3) * 255).astype(np.uint8)).save(
+            img_path)
+
+        out = main(["predict", str(img_path), "--classes", "cat,dog,bus",
+                    "--knowledge-file", str(know_path),
+                    "--config", str(cfg_path), "--thresh", "0.0",
+                    "--output", str(tmp_path / "out.png")])
+        assert len(out["boxes"]) == len(out["scores"]) == len(out["entities"])
+        assert set(out["entities"]) <= {"cat", "dog", "bus", "?"}
+        assert (tmp_path / "out.png").exists()
+
+
 class TestPredictorClasses:
     def test_predict_classes_end_to_end(self):
         """GLIPDemo detection-mode equivalent: knowledge captions -> one
