@@ -167,8 +167,11 @@ class DyHeadConfig:
     # kernel's HBM stream (offsets and in-kernel accumulation stay fp32;
     # tracks fp32 to ~0.2% in fwd and grads) — measured 126.2 -> 112.4
     # ms/step on the 448px/b4 train step (round-4 profile); "float32" is
-    # bit-exact vs the golden gather op
-    deform_dtype: str = "bfloat16"
+    # bit-exact vs the golden gather op. "auto" (default) follows the
+    # model dtype: a float32 config must not silently run deform in bf16
+    # (a bf16 default regressed the f32 accuracy gate's task-ID accuracy
+    # 0.875 -> 0.722 — caught by rerunning the gate, round 4)
+    deform_dtype: str = "auto"
     log_scale: float = 0.0
     prior_prob: float = 0.01
     early_fuse: bool = False  # EARLY_FUSE_ON: False in LPI configs

@@ -240,7 +240,13 @@ class VLDyHead(nn.Module):
                 use_deform=c.use_dfconv and (not first or in_ch == c.channels),
                 dtype=self.dtype, deform_impl=c.deform_impl,
                 deform_window=c.deform_window,
-                deform_dtype=jnp.bfloat16 if c.deform_dtype == "bfloat16"
+                # "auto" follows the model dtype: an f32 config gets
+                # bit-faithful f32 deform (the accuracy gate), a bf16 one
+                # (the flagship recipe) the halved-HBM product maps
+                deform_dtype=jnp.bfloat16 if (
+                    c.deform_dtype == "bfloat16"
+                    or (c.deform_dtype == "auto"
+                        and self.dtype == jnp.bfloat16))
                 else jnp.float32, name=f"tower{i}")(x)
 
         bias_value = -math.log((1 - c.prior_prob) / c.prior_prob)
