@@ -83,9 +83,24 @@ class CLIPConfig:
     n_ctx: int = 16  # CoOp context length (cfgc.NCTX, prompt_learner.py:224)
     class_token_position: str = "end"
     logit_scale_init: float = 4.6052  # ln(100), OpenAI CLIP init
-    # 'xla' = jax.nn.dot_product_attention; 'flash' = Pallas TPU flash
-    # kernel (lpi_tpu/ops/flash_attn.py) — logits stay in VMEM
-    attn_impl: str = "xla"
+    # 'bf16' (default) = hand-rolled attention keeping the [B,H,S,S]
+    # score/prob tensors in the compute dtype — identical math to 'xla'
+    # under a fp32 model dtype; 'xla' = jax.nn.dot_product_attention, which
+    # materializes fp32 logits + fp32 softmax residuals (~2x the attention
+    # HBM stream at S=213). Measured r4 at b64 with remat='dots_nb':
+    # bf16 762.6 vs xla 620.8 samples/s. (A Pallas flash-attention wrapper
+    # was measured at 330 samples/s — the generic kernel pads 213->256 and
+    # loses at this seq length — and deleted per the no-dead-kernels rule.)
+    attn_impl: str = "bf16"
+    # Tower-block remat policy: 'dots_nb' (default) saves non-batched dot
+    # results (every Dense matmul) and recomputes attention + elementwise
+    # chains in backward; 'dots' also saves the [B,H,S,S] logits; 'none'
+    # saves everything. On a memory-squeezed chip 'none' triggers XLA's
+    # forced whole-block rematerialization (a FULL second forward, measured
+    # +35 ms on the b64 retrieval step — scripts/diag_backward.py); explicit
+    # policy remat is strictly cheaper: none 620.8 / dots 709.8 / dots_nb
+    # 762.6 samples/s (r4 sweep, b64 bf16)
+    remat: str = "dots_nb"
 
 
 @dataclass(frozen=True)
@@ -172,6 +187,12 @@ class DyHeadConfig:
     # (a bf16 default regressed the f32 accuracy gate's task-ID accuracy
     # 0.875 -> 0.722 — caught by rerunning the gate, round 4)
     deform_dtype: str = "auto"
+    # remat of the deform product map: "on" always replays it in backward
+    # (lowest HBM residency), "off" always saves it (no replay stream),
+    # "auto" (default) saves it only when this conv's map is < 128 MB —
+    # the 448px/b4 recipe keeps ~80 MB/conv (~1.3 GB total) resident and
+    # skips the replay; 800px or b16 shapes remat (HBM OOM otherwise)
+    deform_remat: str = "auto"
     log_scale: float = 0.0
     prior_prob: float = 0.01
     early_fuse: bool = False  # EARLY_FUSE_ON: False in LPI configs

@@ -25,6 +25,7 @@ TPU-first design choices:
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -43,9 +44,12 @@ class MultiheadAttention(nn.Module):
     """Packed-QKV multi-head attention (matches torch nn.MultiheadAttention
     layout so OpenAI checkpoints convert 1:1).
 
-    `attn_impl='flash'` swaps the score/softmax/value chain for the Pallas
-    TPU flash kernel (`lpi_tpu.ops.flash_attn`) — same math, logits stay in
-    VMEM instead of round-tripping HBM."""
+    `attn_impl='bf16'` keeps the [B,H,S,S] score/prob tensors in the
+    compute dtype (identical math to 'xla' under fp32). A Pallas
+    flash-attention wrapper was measured 2x SLOWER than either at S=213
+    (330 vs 621 samples/s on the b64 train step, r4 sweep — the generic
+    kernel pads 213->256 and attention is only ~4%% of tower FLOPs) and
+    deleted per the no-dead-kernels rule."""
 
     width: int
     heads: int
@@ -62,10 +66,26 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(B, S, H, D // H)
         k = k.reshape(B, S, H, D // H)
         v = v.reshape(B, S, H, D // H)
-        if self.attn_impl == "flash":
-            from lpi_tpu.ops.flash_attn import flash_mha
-
-            out = flash_mha(q, k, v, causal=self.causal)
+        if self.attn_impl == "bf16":
+            # Hand-rolled attention that keeps the [B, H, S, S] score/prob
+            # tensors in the compute dtype: `jax.nn.dot_product_attention`
+            # materializes fp32 logits + fp32 softmax residuals, which at
+            # S=213 doubles the attention HBM stream in fwd AND bwd — the
+            # dominant non-matmul traffic of the train step (profile r4).
+            # exp/normalize still run in fp32 (fused elementwise); with a
+            # fp32 model dtype this path is numerically the xla path.
+            scale = 1.0 / math.sqrt(D // H)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=self.dtype) * \
+                jnp.asarray(scale, self.dtype)
+            if self.causal:
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, self.dtype)
+                cmask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+                logits = jnp.where(cmask, logits, neg)
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp((logits - mx).astype(jnp.float32))
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         else:
             mask = None
             if self.causal:
@@ -87,6 +107,8 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # block LNs stay fp32: running them in bf16 measured NO win
+        # (761.8 vs 762.7 samples/s, r4 sweep) — XLA already fuses them
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
         x = x + MultiheadAttention(self.width, self.heads, self.causal,
                                    self.dtype, self.attn_impl, name="attn")(h)
@@ -95,6 +117,23 @@ class ResidualAttentionBlock(nn.Module):
         h = quick_gelu(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(h)
         return x + h
+
+
+def _remat_body(remat: str):
+    """Block used by the tower scans, optionally remat-wrapped.
+
+    'dots' saves every matmul result and recomputes elementwise chains
+    (LN, softmax-from-logits, GELU) in backward; 'dots_nb' additionally
+    drops batched-dot results (the [B,H,S,S] attention logits), trading a
+    QK^T recompute for the lowest residual footprint."""
+    if remat == "dots":
+        return nn.remat(
+            PromptedBlock, policy=jax.checkpoint_policies.dots_saveable)
+    if remat == "dots_nb":
+        return nn.remat(
+            PromptedBlock,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return PromptedBlock
 
 
 class PromptedBlock(nn.Module):
@@ -126,10 +165,19 @@ class PromptedBlock(nn.Module):
 
 def _scan_tower(name: str, width: int, heads: int, layers: int, causal: bool,
                 dtype, x: jnp.ndarray, prompts: jnp.ndarray, gates: jnp.ndarray,
-                attn_impl: str = "xla"):
-    """Run `layers` blocks as nn.scan with per-layer prompt injection."""
+                attn_impl: str = "xla", remat: str = "none"):
+    """Run `layers` blocks as nn.scan with per-layer prompt injection.
+
+    remat='dots' wraps the block in nn.remat with the `dots_saveable`
+    policy: every matmul result is saved, elementwise chains (LayerNorm,
+    softmax-from-logits, QuickGELU, casts) are recomputed in backward. On a
+    memory-squeezed chip this replaces XLA's forced whole-block
+    rematerialization (a full second forward, measured +35 ms on the
+    retrieval step at b64 — scripts/diag_backward.py r4) with VPU-only
+    recompute."""
+    body = _remat_body(remat)
     tower = nn.scan(
-        PromptedBlock,
+        body,
         variable_axes={"params": 0},
         split_rngs={"params": True},
         length=layers,
@@ -195,7 +243,7 @@ class VisionTransformer(nn.Module):
             (grid * grid + 1, c.vision_width))
         self.ln_pre = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")
         self.tower = nn.scan(
-            PromptedBlock,
+            _remat_body(c.remat),
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.vision_layers,
@@ -282,7 +330,7 @@ class TextTransformer(nn.Module):
 
         x = _scan_tower("transformer", c.text_width, c.text_heads,
                         c.text_layers, True, self.dtype, x, prompts, gates,
-                        attn_impl=c.attn_impl)
+                        attn_impl=c.attn_impl, remat=c.remat)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
 
         eot = jnp.argmax(token_ids, axis=-1)  # EOT has the largest token id

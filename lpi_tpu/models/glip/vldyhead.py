@@ -53,6 +53,7 @@ class Conv3x3Norm(nn.Module):
     deform_impl: str = "pallas"
     deform_window: int = 3
     deform_dtype: jnp.dtype = jnp.float32
+    deform_remat: str | bool = "auto"
 
     @nn.compact
     def __call__(self, x, offset=None, mask=None):
@@ -80,10 +81,13 @@ class Conv3x3Norm(nn.Module):
                                             stride=self.stride,
                                             max_offset=self.deform_window)
             elif self.deform_impl == "pallas":
+                remat = {"on": True, "off": False}.get(self.deform_remat,
+                                                       self.deform_remat)
                 y = deform_conv2d_pallas(x, offset, w, b, mask=mask,
                                          stride=self.stride,
                                          max_offset=self.deform_window,
-                                         compute_dtype=self.deform_dtype)
+                                         compute_dtype=self.deform_dtype,
+                                         remat=remat)
             elif self.deform_impl == "fused":
                 y = deform_conv2d_fused(x, offset, w, b, mask=mask,
                                         stride=self.stride,
@@ -134,21 +138,22 @@ class DyConv(nn.Module):
     deform_impl: str = "pallas"
     deform_window: int = 3
     deform_dtype: jnp.dtype = jnp.float32
+    deform_remat: str | bool = "auto"
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         conv_same = Conv3x3Norm(self.out_channels, 1, self.use_deform,
                                 self.dtype, self.deform_impl,
                                 self.deform_window, self.deform_dtype,
-                                name="conv_same")
+                                self.deform_remat, name="conv_same")
         conv_down = Conv3x3Norm(self.out_channels, 2, self.use_deform,
                                 self.dtype, self.deform_impl,
                                 self.deform_window, self.deform_dtype,
-                                name="conv_down")
+                                self.deform_remat, name="conv_down")
         conv_up = Conv3x3Norm(self.out_channels, 1, self.use_deform,
                               self.dtype, self.deform_impl,
                               self.deform_window, self.deform_dtype,
-                              name="conv_up")
+                              self.deform_remat, name="conv_up")
         offset_conv = (
             nn.Conv(27, (3, 3), padding="SAME",
                     kernel_init=nn.initializers.normal(0.01), name="offset")
@@ -240,6 +245,7 @@ class VLDyHead(nn.Module):
                 use_deform=c.use_dfconv and (not first or in_ch == c.channels),
                 dtype=self.dtype, deform_impl=c.deform_impl,
                 deform_window=c.deform_window,
+                deform_remat=c.deform_remat,
                 # "auto" follows the model dtype: an f32 config gets
                 # bit-faithful f32 deform (the accuracy gate), a bf16 one
                 # (the flagship recipe) the halved-HBM product maps

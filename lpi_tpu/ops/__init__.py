@@ -9,5 +9,4 @@ from lpi_tpu.ops.deform_conv import (  # noqa: F401
     deform_conv2d_window,
 )
 from lpi_tpu.ops.deform_pool import deform_psroi_pool  # noqa: F401
-from lpi_tpu.ops.flash_attn import flash_mha  # noqa: F401
 from lpi_tpu.ops.roi_align import roi_align, roi_pool  # noqa: F401

@@ -243,6 +243,7 @@ def deform_conv2d_pallas(
     max_offset: int = 3,
     interpret: bool | None = None,
     compute_dtype: jnp.dtype = jnp.float32,
+    remat: str | bool = "auto",
 ) -> jnp.ndarray:
     """Matmul-first windowed deform conv with the displacement accumulation
     in a Pallas kernel (`ops/deform_window_kernel.py`).
@@ -266,8 +267,8 @@ def deform_conv2d_pallas(
         return deform_conv2d_fast_scan(features, offsets, weights, bias,
                                        mask=mask, stride=stride,
                                        max_offset=max_offset)
-    from lpi_tpu.ops.deform_window_kernel import (window_accumulate_taps,
-                                                  window_accumulate_taps_s2)
+    from lpi_tpu.ops.deform_window_kernel import (
+        window_accumulate_taps_inpad, window_accumulate_taps_s2)
 
     B, H, W, C = features.shape
     kh, kw, _, Cout = weights.shape
@@ -286,8 +287,15 @@ def deform_conv2d_pallas(
     # jax.checkpoint: without it the [B,Hp,Wp,K*Cout] product map is saved
     # as a backward residual for EVERY conv (~585 MB each at 448px/b16 ->
     # 21.4 GB total, HBM OOM on the 16 GB chip); remat re-runs the cheap
-    # matmul + fwd kernel during backward instead.
-    @jax.checkpoint
+    # matmul + fwd kernel during backward instead. But the replay is not
+    # free either — it re-streams the product map to HBM (~10% of the r2
+    # step) — so "auto" remats only when this conv's saved map would be
+    # big enough to matter (>128 MB; the 448px/b4 bench shapes keep ~80 MB
+    # per conv, ~1.3 GB total, and skip the replay).
+    hp_bytes = (B * (Ho + 2 * m + stride + 1) * (Wo + 2 * m + stride + 1)
+                * K * Cout * jnp.dtype(compute_dtype).itemsize)
+    use_remat = remat if isinstance(remat, bool) else hp_bytes > 128 * 2**20
+
     def core(feats, weights, off, gate):
         w_all = weights.astype(jnp.float32).reshape(K, C, Cout)
         w_all = jnp.moveaxis(w_all, 0, 1).reshape(C, K * Cout)
@@ -296,21 +304,26 @@ def deform_conv2d_pallas(
         # epilogue, and the kernel accumulates in fp32 either way
         h_all = jnp.einsum("bhwc,cf->bhwf", feats,
                            w_all).astype(compute_dtype)
-        # per-tap (y, x) PRE-SHIFTED pad (kernel contract): tap k's slab is
-        # padded (m+1-ky, m+ky) x (m+1-kx, m+kx) so all taps share the
-        # static in-kernel slice starts; the slice+pad+concat fuses into
-        # one pass over h_all
+        oy = jnp.moveaxis(off[..., 0], 3, 1)  # [B, K, Ho, Wo]
+        ox = jnp.moveaxis(off[..., 1], 3, 1)
+        gk = jnp.moveaxis(gate, 3, 1)
+        if stride == 1:
+            # the kernel builds each tap's pre-shifted padded slab in a
+            # VMEM scratch — the einsum output feeds it DIRECTLY, saving
+            # one full XLA pad pass over the product map in forward and
+            # its slice-VJP pass in backward (~160 MB/conv each way at
+            # 448px/b4 — the dominant deform stream, r4 profile)
+            return window_accumulate_taps_inpad(h_all, oy, ox, gk, m, K,
+                                                kw, interpret)
+        # per-tap (y, x) PRE-SHIFTED pad (stride-2 kernel contract): tap
+        # k's slab is padded (m+1-ky, m+ky) x (m+1-kx, m+kx) so all taps
+        # share the static in-kernel slice starts; the slice+pad+concat
+        # fuses into one pass over h_all
         hp_all = jnp.concatenate(
             [jnp.pad(h_all[..., k * Cout:(k + 1) * Cout],
                      ((0, 0), (m + 1 - k // kw, m + k // kw),
                       (m + 1 - k % kw, m + k % kw), (0, 0)))
              for k in range(K)], axis=-1)
-        oy = jnp.moveaxis(off[..., 0], 3, 1)  # [B, K, Ho, Wo]
-        ox = jnp.moveaxis(off[..., 1], 3, 1)
-        gk = jnp.moveaxis(gate, 3, 1)
-        if stride == 1:
-            return window_accumulate_taps(hp_all, oy, ox, gk, m, K,
-                                          interpret)
         # stride 2: space-to-depth the padded map into 4 parity phases and
         # run the displacement loop at OUTPUT res only (the old
         # upsample-offsets trick paid the full input-res loop, 4x waste)
@@ -324,6 +337,8 @@ def deform_conv2d_pallas(
             ph[:, :, 1, :, 0], ph[:, :, 1, :, 1],
             oy, ox, gk, m, K, interpret)
 
+    if use_remat:
+        core = jax.checkpoint(core)
     out = core(feats, weights, off, gate)
     if bias is not None:
         out = out + bias

@@ -382,6 +382,248 @@ window_accumulate_taps.defvjp(_vjp_taps_fwd, _vjp_taps_bwd)
 
 
 # --------------------------------------------------------------------------
+# in-VMEM-pad stride-1 kernels: the product map arrives UNPADDED
+# --------------------------------------------------------------------------
+#
+# The pre-shifted-pad contract above costs one full XLA pass over the product
+# map each way (pad/concat in forward, its slice-VJP in backward) — at
+# 448px/b4 that is ~160 MB of HBM per conv per direction, measured as the
+# dominant deform stream after the r4 step profile. These kernels take the
+# tap-major matmul output DIRECTLY ([B, H, W, K*Cout], no padding) and build
+# tap k's pre-shifted padded slab in a VMEM scratch: one dynamic-y placement
+# copy per grid step (x start is made static by unrolling the kw cases under
+# pl.when), then the displacement loop runs on the scratch exactly as in
+# `_fwd_taps_kernel`. Semantics == window_accumulate_taps(pre-shifted pad).
+
+
+def _place_block(src_ref, dst_ref, k, m: int, kw: int, H: int, W: int):
+    """dst[py:py+H, px:px+W] = src, py = m+1-ky (dynamic), px = m+1-kx
+    (static per unrolled pl.when arm — Mosaic needs static sublane starts)."""
+    ky = k // kw
+    py = m + 1 - ky
+    for kxv in range(kw):
+        @pl.when(k % kw == kxv)
+        def _copy(kxv=kxv):
+            px = m + 1 - kxv
+            dst_ref[0, pl.ds(py, H), px:px + W, :] = src_ref[0]
+
+
+def _extract_block(src_ref, dst_ref, k, m: int, kw: int, H: int, W: int):
+    """dst = src[py:py+H, px:px+W] — inverse of `_place_block`."""
+    ky = k // kw
+    py = m + 1 - ky
+    for kxv in range(kw):
+        @pl.when(k % kw == kxv)
+        def _copy(kxv=kxv):
+            px = m + 1 - kxv
+            dst_ref[0] = src_ref[0, pl.ds(py, H), px:px + W, :]
+
+
+def _fwd_taps_inpad_kernel(h_ref, oy_ref, ox_ref, g_ref, out_ref, hp_ref, *,
+                           m: int, kw: int, Ho: int, Wo: int):
+    """Grid (B, Cq, K); h block [1, Ho, Wo, tile] (tap k's channel tile of
+    the unpadded product map); hp_ref = VMEM scratch [1, Hp, Wp, tile]."""
+    k = pl.program_id(2)
+    n = 2 * m + 2
+    oy = oy_ref[0, 0]
+    ox = ox_ref[0, 0]
+    g = g_ref[0, 0]
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
+
+    hp_ref[0] = jnp.zeros(hp_ref.shape[1:], hp_ref.dtype)
+    _place_block(h_ref, hp_ref, k, m, kw, Ho, Wo)
+
+    oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
+    ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
+
+    def body(iy, carry):
+        d_y = (iy - m).astype(jnp.float32)
+        y_active = (d_y > oy_lo - 1) & (d_y < oy_hi + 1)
+
+        @pl.when(y_active)
+        def _row():
+            gwy = g * _hat(oy, d_y)
+            for ix in range(n):
+                d_x = float(ix - m)
+                x_active = (d_x > ox_lo - 1) & (d_x < ox_hi + 1)
+
+                @pl.when(x_active)
+                def _do(ix=ix, d_x=d_x):
+                    wx = _hat(ox, d_x)
+                    win = hp_ref[0, pl.ds(iy, Ho), ix:ix + Wo, :]
+                    out_ref[0] += (gwy * wx)[..., None] * win.astype(
+                        jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _bwd_taps_inpad_kernel(h_ref, oy_ref, ox_ref, g_ref, ct_ref, dh_ref,
+                           doy_ref, dox_ref, dg_ref, hp_ref, dhp_ref, *,
+                           m: int, kw: int, Ho: int, Wo: int):
+    k = pl.program_id(2)
+    c_idx = pl.program_id(1)
+    n = 2 * m + 2
+    oy = oy_ref[0, 0]
+    ox = ox_ref[0, 0]
+    g = g_ref[0, 0]
+    ct = ct_ref[0]
+
+    hp_ref[0] = jnp.zeros(hp_ref.shape[1:], hp_ref.dtype)
+    _place_block(h_ref, hp_ref, k, m, kw, Ho, Wo)
+    dhp_ref[0] = jnp.zeros(dhp_ref.shape[1:], dhp_ref.dtype)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        doy_ref[0, 0] = jnp.zeros((Ho, Wo), jnp.float32)
+        dox_ref[0, 0] = jnp.zeros((Ho, Wo), jnp.float32)
+        dg_ref[0, 0] = jnp.zeros((Ho, Wo), jnp.float32)
+
+    oy_lo, oy_hi = jnp.min(oy), jnp.max(oy)
+    ox_lo, ox_hi = jnp.min(ox), jnp.max(ox)
+
+    def body(iy, carry):
+        d_y = (iy - m).astype(jnp.float32)
+        y_active = (d_y > oy_lo - 1) & (d_y < oy_hi + 1)
+
+        @pl.when(y_active)
+        def _row():
+            wy = _hat(oy, d_y)
+            dwy = _dhat(oy, d_y)
+            for ix in range(n):
+                d_x = float(ix - m)
+                x_active = (d_x > ox_lo - 1) & (d_x < ox_hi + 1)
+
+                @pl.when(x_active)
+                def _do(ix=ix, d_x=d_x):
+                    wx = _hat(ox, d_x)
+                    cur = dhp_ref[0, pl.ds(iy, Ho), ix:ix + Wo, :]
+                    dhp_ref[0, pl.ds(iy, Ho), ix:ix + Wo, :] = \
+                        (cur.astype(jnp.float32)
+                         + (g * wy * wx)[..., None] * ct).astype(dhp_ref.dtype)
+                    win = hp_ref[0, pl.ds(iy, Ho), ix:ix + Wo, :]
+                    s = jnp.sum(ct * win.astype(jnp.float32), axis=-1)
+                    doy_ref[0, 0] += g * dwy * wx * s
+                    dox_ref[0, 0] += g * wy * _dhat(ox, d_x) * s
+                    dg_ref[0, 0] += wy * wx * s
+
+        return carry
+
+    jax.lax.fori_loop(0, n, body, 0)
+    _extract_block(dhp_ref, dh_ref, k, m, kw, Ho, Wo)
+
+
+def window_accumulate_taps_inpad_reference(h_all, oy, ox, gate, m: int,
+                                           K: int, kw: int = 3):
+    """Oracle: pre-shift-pad each tap's slab, then the padded-taps oracle."""
+    B, H, W, KC = h_all.shape
+    Cout = KC // K
+    hp_all = jnp.concatenate(
+        [jnp.pad(h_all[..., k * Cout:(k + 1) * Cout],
+                 ((0, 0), (m + 1 - k // kw, m + k // kw),
+                  (m + 1 - k % kw, m + k % kw), (0, 0)))
+         for k in range(K)], axis=-1)
+    return window_accumulate_taps_reference(hp_all, oy, ox, gate, m, K)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def window_accumulate_taps_inpad(h_all: jnp.ndarray, oy: jnp.ndarray,
+                                 ox: jnp.ndarray, gate: jnp.ndarray, m: int,
+                                 K: int, kw: int = 3,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """All-taps windowed accumulation from the UNPADDED product map.
+
+    h_all [B, H, W, K*Cout] fp32 or bf16 — the tap-major matmul output
+    `feats @ [C, K*Cout]` with NO host-side padding (tap k's pre-shifted
+    slab is built in a VMEM scratch, saving one full XLA pad pass over the
+    map in forward and its slice-VJP pass in backward); oy/ox/gate
+    [B, K, H, W] fp32, offsets clamped to [-m, m]. Output [B, H, W, Cout]
+    fp32; dh matches h_all's dtype. Stride 1 only.
+    """
+    return _fwd_taps_inpad_impl(h_all, oy, ox, gate, m, K, kw, interpret)
+
+
+def _fwd_taps_inpad_impl(h_all, oy, ox, gate, m, K, kw, interpret):
+    B, H, W, KC = h_all.shape
+    Cout = KC // K
+    Hp, Wp = H + 2 * m + 1, W + 2 * m + 1
+    tile = _ctile(Cout, Hp * Wp + H * W, H * W)
+    Cq = Cout // tile
+
+    def h_map(b, c, k):
+        return (b, 0, 0, k * Cq + c)
+
+    off_spec = pl.BlockSpec((1, 1, H, W), lambda b, c, k: (b, k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_fwd_taps_inpad_kernel, m=m, kw=kw, Ho=H, Wo=W),
+        grid=(B, Cq, K),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tile, Hp * Wp, 2 * H * W)),
+        in_specs=[
+            pl.BlockSpec((1, H, W, tile), h_map, memory_space=pltpu.VMEM),
+            off_spec, off_spec, off_spec,
+        ],
+        out_specs=pl.BlockSpec((1, H, W, tile), lambda b, c, k: (b, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, Hp, Wp, tile), h_all.dtype)],
+        interpret=interpret,
+    )(h_all, oy, ox, gate)
+
+
+def _vjp_taps_inpad_fwd(h_all, oy, ox, gate, m, K, kw, interpret):
+    return (_fwd_taps_inpad_impl(h_all, oy, ox, gate, m, K, kw, interpret),
+            (h_all, oy, ox, gate))
+
+
+def _vjp_taps_inpad_bwd(m, K, kw, interpret, res, ct):
+    h_all, oy, ox, gate = res
+    B, H, W, KC = h_all.shape
+    Cout = KC // K
+    Hp, Wp = H + 2 * m + 1, W + 2 * m + 1
+    tile = _ctile(Cout, 2 * (Hp * Wp + H * W), H * W)
+    Cq = Cout // tile
+
+    def h_map(b, c, k):
+        return (b, 0, 0, k * Cq + c)
+
+    off_spec = pl.BlockSpec((1, 1, H, W), lambda b, c, k: (b, k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dh, doy, dox, dg = pl.pallas_call(
+        partial(_bwd_taps_inpad_kernel, m=m, kw=kw, Ho=H, Wo=W),
+        grid=(B, Cq, K),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tile, 2 * Hp * Wp, 3 * H * W)),
+        in_specs=[
+            pl.BlockSpec((1, H, W, tile), h_map, memory_space=pltpu.VMEM),
+            off_spec, off_spec, off_spec,
+            pl.BlockSpec((1, H, W, tile), lambda b, c, k: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W, tile), h_map, memory_space=pltpu.VMEM),
+            off_spec, off_spec, off_spec,
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W, KC), h_all.dtype),
+                   jax.ShapeDtypeStruct((B, K, H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((B, K, H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((B, K, H, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, Hp, Wp, tile), h_all.dtype),
+                        pltpu.VMEM((1, Hp, Wp, tile), h_all.dtype)],
+        interpret=interpret,
+    )(h_all, oy, ox, gate, ct)
+    return dh, doy, dox, dg
+
+
+window_accumulate_taps_inpad.defvjp(_vjp_taps_inpad_fwd, _vjp_taps_inpad_bwd)
+
+
+# --------------------------------------------------------------------------
 # stride-2 phase-split kernels: displacement loop at OUTPUT resolution
 # --------------------------------------------------------------------------
 #

@@ -22,6 +22,12 @@ def main():
     from lpi_tpu.core.config import RetrievalConfig
     from lpi_tpu.continual.learner import RetrievalLearner, _split_params
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lpi_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     import dataclasses
     cfg = dataclasses.replace(RetrievalConfig(), batch_size=batch)
     rng = np.random.RandomState(0)
@@ -34,6 +40,9 @@ def main():
     tx, step = learner._make_train_step(task_id=0, steps_per_epoch=100,
                                         epochs=cfg.epochs)
     pools, frozen = _split_params(learner.params)
+    # the jitted step DONATES the pool buffers; keep an undonated copy for
+    # the forward-only segments below (learner.params aliases the originals)
+    params = jax.tree.map(lambda x: jnp.array(x), learner.params)
     opt_state = tx.init(pools)
     b = {"images": jnp.asarray(images), "token_ids": jnp.asarray(ids)}
 
@@ -80,7 +89,6 @@ def main():
     print(f"device-lr step:       {dt2*1e3:8.2f} ms  {batch/dt2:8.1f} samples/s")
 
     # 3. forward-only segments
-    params = learner.params
     model = learner.model
 
     fwd = jax.jit(lambda p, img, tok: model.apply({"params": p}, img, tok, 0))

@@ -1,7 +1,10 @@
 """Sweep retrieval train-step variants on the real chip (VERDICT r3 #4).
 
-Variants: attn_impl {xla, flash} x batch {64, 128}. Prints a table of
-samples/s + ms/step for each so the winning default is a measured choice.
+Variants over (attn_impl, remat policy, block-LN dtype, batch). Prints a
+table of samples/s + ms/step so the winning default is a measured choice.
+r4 measurements (v5e, 100 iters): xla/none/b64 620.8; bf16/dots/b64 709.8;
+bf16/dots_nb/b64 762.6 (the default); flash attention 330.2 (deleted);
+bf16-LN 761.8 (no win, reverted); b96/b128 all lose per-sample.
 
 Usage: python scripts/sweep_retrieval.py [iters]
 """
@@ -55,21 +58,22 @@ def main():
 
     base = RetrievalConfig()
     rows = []
-    for attn in ("xla", "flash"):
-        for batch in (64, 128):
-            cfg = dataclasses.replace(
-                base, clip=dataclasses.replace(base.clip, attn_impl=attn))
-            try:
-                sps, ms, loss0 = measure(cfg, batch, iters)
-                rows.append((attn, batch, sps, ms, loss0))
-                print(f"attn={attn:5s} b={batch:3d}: {sps:8.1f} samples/s  "
-                      f"{ms:7.2f} ms/step  loss0={loss0:.4f}", flush=True)
-            except Exception as e:
-                print(f"attn={attn:5s} b={batch:3d}: FAILED {str(e)[-200:]}",
-                      flush=True)
+    for attn, remat, batch in (("bf16", "dots_nb", 64), ("bf16", "dots", 64),
+                               ("xla", "none", 64), ("bf16", "dots_nb", 128)):
+        cfg = dataclasses.replace(
+            base, clip=dataclasses.replace(base.clip, attn_impl=attn,
+                                           remat=remat))
+        tag = f"attn={attn:5s} remat={remat:7s} b={batch:3d}"
+        try:
+            sps, ms, loss0 = measure(cfg, batch, iters)
+            rows.append((tag, sps))
+            print(f"{tag}: {sps:8.1f} samples/s  {ms:7.2f} ms/step  "
+                  f"loss0={loss0:.4f}", flush=True)
+        except Exception as e:
+            print(f"{tag}: FAILED {str(e)[-200:]}", flush=True)
     if rows:
-        best = max(rows, key=lambda r: r[2])
-        print(f"\nbest: attn={best[0]} b={best[1]} -> {best[2]:.1f} samples/s")
+        best = max(rows, key=lambda r: r[1])
+        print(f"\nbest: {best[0]} -> {best[1]:.1f} samples/s")
 
 
 if __name__ == "__main__":
