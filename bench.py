@@ -82,6 +82,33 @@ def derive_reference_baseline() -> dict:
     }
 
 
+def grounding_reference_baseline() -> dict:
+    """MEASURED reference grounding baseline (no utilization assumption
+    needed): the reference repo ships an actual training log of this exact
+    workload — `grounding/shell/out.txt`, the LPI prompt finetune
+    (`configs/refcoco/finetune_A_decompose_task_interact.yaml`, trainable
+    12,400 prompt params of 152M total, frozen GLIP-T backbone) on
+    **1 GPU** ('Using 1 GPUs', num_gpus: 1), global IMS_PER_BATCH **32**,
+    at **448x448** (hardcoded `Resize(min_size=448, max_size=448,
+    restrict=True)`, `data/transforms/build.py:36-41`). Steady-state
+    per-iteration time across all 996 logged iter lines: median 1.357 s
+    (mean 1.320, p10 1.150, p90 1.434), of which data loading is ~0.01 s.
+
+    32 images / 1.357 s = 23.6 samples/s on the authors' single GPU (model
+    unlogged; 12.7 GB peak CUDA memory => a 16 GB-class or larger card).
+    This is the denominator for `grounding_vs_baseline` — same model
+    family, same 448px size, same frozen-backbone prompt-training regime
+    as `bench_grounding()` measures per chip."""
+    median_iter_time = 1.357
+    return {
+        "samples_per_sec": 32 / median_iter_time,
+        "global_batch": 32,
+        "gpus": 1,
+        "median_iter_time_s": median_iter_time,
+        "source": "reference grounding/shell/out.txt (996 iter lines)",
+    }
+
+
 def _setup_compile_cache():
     import jax
 
@@ -179,40 +206,43 @@ def bench_quality() -> dict:
         "i2t_forgetting": round(agg["forgetting"], 1),
     }
     # self-asserting (VERDICT r3 #2): compare against the accuracy gate's
-    # bars so a chance-level result can never be recorded silently
-    out["quality_bars"] = {"r1": 50.0, "task_id": 0.8,
-                          "grounding_p1": 30.0, "grounding_task_id": 0.8}
+    # bars so a chance-level result can never be recorded silently.
+    # Forgetting IS gated (VERDICT r4 #7): continual learning is the
+    # paper's subject — a prompt-isolation bug that doubled forgetting
+    # would otherwise pass on final-average alone.
+    out["quality_bars"] = {"r1": 50.0, "task_id": 0.8, "forgetting": 10.0,
+                          "grounding_p1": 30.0, "grounding_task_id": 0.8,
+                          "grounding_forgetting": 15.0}
     out["quality_ok"] = bool(
         out["txt_r1"] >= 50.0 and out["img_r1"] >= 50.0
         and out["i2t_p1_average"] >= 50.0
         and out["task_id_acc_visual"] >= 0.8
-        and out["task_id_acc_textual"] >= 0.8)
+        and out["task_id_acc_textual"] >= 0.8
+        and out["i2t_forgetting"] <= 10.0)
     if os.environ.get("LPI_BENCH_QUALITY_GROUNDING", "1") != "0":
         try:
             g = bench_quality_grounding()
             out.update(g)
             out["quality_ok"] = bool(
                 out["quality_ok"] and g["grounding_p1"] >= 30.0
-                and g["grounding_task_id_acc"] >= 0.8)
+                and g["grounding_task_id_acc"] >= 0.8
+                and g["grounding_forgetting"] <= 15.0)
         except Exception as e:
             out["grounding_quality_error"] = str(e)[-200:]
             out["quality_ok"] = False
     return out
 
 
-def bench_quality_grounding() -> dict:
-    """The grounding half of the accuracy gate at bench time: mixed-task
-    full-param pretrain (the GLIP-T(A) role), 3-task continual prompt loop,
-    task-ID + P@1(GIoU>=0.5) eval — `tests/test_quality_gate.py`'s recipe."""
+def gate_grounding_config(n_tasks: int = 3):
+    """The driver quality gate's tiny grounding config — ALSO the on-chip
+    test lane's train-step config (`tests/test_tpu_onchip.py`), so the exact
+    shapes the gate dispatches (channels=16 -> the deform XLA fallback,
+    VERDICT r4 #1) are exercised on real hardware before every round."""
     from lpi_tpu.core.config import (
         ATSSConfig, BertConfig, DyHeadConfig, GroundingConfig,
         LPIPromptConfig, SwinConfig)
-    from lpi_tpu.continual.grounding_learner import GroundingLearner
-    from lpi_tpu.data.bert_tokenizer import BertTokenizer
-    from lpi_tpu.data.grounding import GroundingTaskSet, synthetic_grounding_task
 
-    n_tasks = 3
-    cfg = GroundingConfig(
+    return GroundingConfig(
         swin=SwinConfig(patch_size=4, embed_dim=8, depths=(2, 2, 6, 2),
                         num_heads=(1, 2, 2, 2), window_size=4),
         bert=BertConfig(vocab_size=512, hidden_size=16, num_layers=12,
@@ -230,6 +260,21 @@ def bench_quality_grounding() -> dict:
         total_tasks=n_tasks, epochs_per_task=2, batch_size=4,
         max_boxes=4, image_size=64, num_key_clusters=5, dtype="float32",
         lr=0.003, fused_scan_unroll=99)
+
+
+def bench_quality_grounding() -> dict:
+    """The grounding half of the accuracy gate at bench time: mixed-task
+    full-param pretrain (the GLIP-T(A) role), 3-task continual prompt loop,
+    task-ID + P@1(GIoU>=0.5) eval — `tests/test_quality_gate.py`'s recipe.
+    Evaluates over seen tasks after EVERY task so forgetting (best-previous
+    minus last, `res_handle/reshandle.py:52-113`) is reported and gated, not
+    just the final average (VERDICT r4 #7)."""
+    from lpi_tpu.continual.grounding_learner import GroundingLearner
+    from lpi_tpu.data.bert_tokenizer import BertTokenizer
+    from lpi_tpu.data.grounding import GroundingTaskSet, synthetic_grounding_task
+
+    n_tasks = 3
+    cfg = gate_grounding_config(n_tasks)
     tok = BertTokenizer(max_len=16, vocab_size=512)
     tasks = {t: synthetic_grounding_task(t, 24, cfg.image_size, tok)
              for t in range(n_tasks)}
@@ -239,13 +284,23 @@ def bench_quality_grounding() -> dict:
         synthetic_grounding_task(t, 16, cfg.image_size, tok, seed=5)
         for t in range(n_tasks)])
     learner.pretrain(mixed, steps=242, lr=cfg.lr)
+    p1_history = {}  # checkpoint t -> {task s: P@1 on task s}
+    res = None
     for t in range(n_tasks):
         learner.train_task(tasks[t], epochs=8)
-    res = learner.evaluate(tasks)
+        res = learner.evaluate({s: tasks[s] for s in range(t + 1)})
+        p1_history[t] = {s: float(res["per_task"][s][0])
+                         for s in range(t + 1)}
+    final = p1_history[n_tasks - 1]
+    # forgetting: best accuracy a task ever had at an earlier checkpoint
+    # minus its final accuracy, averaged over non-final tasks
+    drops = [max(p1_history[t][s] for t in range(s, n_tasks - 1)) - final[s]
+             for s in range(n_tasks - 1)]
     return {
         "grounding_p1": round(float(res["overall"][0]), 1),
         "grounding_p5": round(float(res["overall"][1]), 1),
         "grounding_task_id_acc": round(float(res["task_id_accuracy"]), 3),
+        "grounding_forgetting": round(float(np.mean(drops)), 1),
     }
 
 
@@ -361,6 +416,16 @@ def main():
                         g["honest_offsets"], 2)
                     out["grounding_train_samples_per_sec_zero_offsets"] = \
                         round(g["zero_offsets"], 2)
+                    # MEASURED denominator: the reference's own shipped
+                    # training log of this exact workload (448px, frozen
+                    # backbone, prompt finetune) — see
+                    # grounding_reference_baseline()
+                    gb = grounding_reference_baseline()
+                    out["grounding_vs_baseline"] = round(
+                        g["honest_offsets"] / gb["samples_per_sec"], 3)
+                    out["grounding_baseline_samples_per_sec"] = round(
+                        gb["samples_per_sec"], 1)
+                    out["grounding_baseline_is_measured"] = True
                     break
             else:
                 out["grounding_error"] = (proc.stderr.strip()[-200:]

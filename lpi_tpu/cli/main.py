@@ -129,6 +129,19 @@ def build_parser() -> argparse.ArgumentParser:
     ed.add_argument("--max-dets", type=int, default=None)
     ed.add_argument("--merge-boxes", action="store_true",
                     help="flickr: merge multi-box phrases (GLIP protocol)")
+
+    fw = sub.add_parser(
+        "fetch-weights",
+        help="download + sha256-verify + convert pretrained weights "
+             "(OpenAI CLIP / GLIP zoo; reference clip.py:39-67 policy)")
+    fw.add_argument("name", nargs="?", default=None,
+                    help="registry entry (see --list); omit with --list")
+    fw.add_argument("--root", default=None,
+                    help="cache directory (default ~/.cache/lpi_tpu)")
+    fw.add_argument("--no-convert", action="store_true",
+                    help="keep only the raw torch checkpoint")
+    fw.add_argument("--list", action="store_true", dest="list_entries",
+                    help="print the available registry entries and exit")
     return p
 
 
@@ -644,6 +657,25 @@ def cmd_eval_detection(args) -> dict:
     return res
 
 
+def cmd_fetch_weights(args) -> dict:
+    from lpi_tpu.core import fetch
+
+    if args.list_entries or args.name is None:
+        for name, spec in sorted(fetch.WEIGHTS.items()):
+            verified = "sha256" if spec["sha256"] else "unverified"
+            print(f"{name:16s} {verified:10s} {spec['url']}")
+        if args.name is None:
+            return {"available": sorted(fetch.WEIGHTS)}
+    root = args.root or fetch.DEFAULT_ROOT
+    out = fetch.fetch_weights(args.name, root=root,
+                              convert=not args.no_convert)
+    print(f"checkpoint: {out['checkpoint']}")
+    print(f"sha256:     {out['sha256']}")
+    if out["converted"]:
+        print(f"converted:  {out['converted']}")
+    return out
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -666,6 +698,8 @@ def main(argv=None):
         return cmd_report(args)
     if args.command == "eval-detection":
         return cmd_eval_detection(args)
+    if args.command == "fetch-weights":
+        return cmd_fetch_weights(args)
     raise SystemExit(f"unknown command {args.command}")
 
 

@@ -263,12 +263,22 @@ def deform_conv2d_pallas(
     """
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
-    if stride not in (1, 2):
+    from lpi_tpu.ops.deform_window_kernel import (
+        taps_kernel_supported, window_accumulate_taps_inpad,
+        window_accumulate_taps_s2)
+
+    # Mosaic lane-tiling legality: the stacked-tap kernels block the
+    # tap-major K*Cout lane dim per tap, which only lowers for
+    # Cout % 128 == 0 (or K == 1). Unsupported channel counts (e.g. the
+    # 16-channel quality-gate config) take the XLA scan path — checked
+    # REGARDLESS of interpret mode so CPU tests and the real chip run the
+    # same math path (the r4 gate crash shipped through interpret-only
+    # testing).
+    if stride not in (1, 2) or not taps_kernel_supported(
+            weights.shape[-1], weights.shape[0] * weights.shape[1]):
         return deform_conv2d_fast_scan(features, offsets, weights, bias,
                                        mask=mask, stride=stride,
                                        max_offset=max_offset)
-    from lpi_tpu.ops.deform_window_kernel import (
-        window_accumulate_taps_inpad, window_accumulate_taps_s2)
 
     B, H, W, C = features.shape
     kh, kw, _, Cout = weights.shape

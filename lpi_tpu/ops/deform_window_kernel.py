@@ -306,7 +306,7 @@ def _fwd_taps_impl(hp_all, oy, ox, gate, m, K, interpret):
     Cout = KC // K
     Ho = Hp - 2 * m - 1
     Wo = Wp - 2 * m - 1
-    tile = _ctile(Cout, Hp * Wp, Ho * Wo)
+    tile = _ctile(Cout, KC, interpret)
     Cq = Cout // tile
 
     def hp_map(b, c, k):
@@ -344,7 +344,7 @@ def _vjp_taps_bwd(m, K, interpret, res, ct):
     Cout = KC // K
     Ho = Hp - 2 * m - 1
     Wo = Wp - 2 * m - 1
-    tile = _ctile(Cout, 2 * Hp * Wp, Ho * Wo)  # bwd reads hp AND writes dhp
+    tile = _ctile(Cout, KC, interpret)  # bwd reads hp AND writes dhp
     Cq = Cout // tile
 
     def hp_map(b, c, k):
@@ -551,7 +551,7 @@ def _fwd_taps_inpad_impl(h_all, oy, ox, gate, m, K, kw, interpret):
     B, H, W, KC = h_all.shape
     Cout = KC // K
     Hp, Wp = H + 2 * m + 1, W + 2 * m + 1
-    tile = _ctile(Cout, Hp * Wp + H * W, H * W)
+    tile = _ctile(Cout, KC, interpret)
     Cq = Cout // tile
 
     def h_map(b, c, k):
@@ -586,7 +586,7 @@ def _vjp_taps_inpad_bwd(m, K, kw, interpret, res, ct):
     B, H, W, KC = h_all.shape
     Cout = KC // K
     Hp, Wp = H + 2 * m + 1, W + 2 * m + 1
-    tile = _ctile(Cout, 2 * (Hp * Wp + H * W), H * W)
+    tile = _ctile(Cout, KC, interpret)
     Cq = Cout // tile
 
     def h_map(b, c, k):
@@ -773,11 +773,11 @@ def window_accumulate_taps_s2(hp00, hp01, hp10, hp11, oy, ox, gate, m: int,
                              interpret)
 
 
-def _taps_s2_specs(hp00, oy, K, vmem_factor):
+def _taps_s2_specs(hp00, oy, K, vmem_factor, interpret=False):
     B, Hp2, Wp2, KC = hp00.shape
     Cout = KC // K
     Ho, Wo = oy.shape[2], oy.shape[3]
-    tile = _ctile(Cout, Hp2 * Wp2, Ho * Wo)
+    tile = _ctile(Cout, KC, interpret)
     Cq = Cout // tile
 
     def hp_map(b, c, k):
@@ -795,7 +795,7 @@ def _taps_s2_specs(hp00, oy, K, vmem_factor):
 
 def _fwd_taps_s2_impl(hp00, hp01, hp10, hp11, oy, ox, gate, m, K, interpret):
     (B, Cout, Ho, Wo, tile, Cq, hp_spec, off_spec, out_spec,
-     limit) = _taps_s2_specs(hp00, oy, K, 1)
+     limit) = _taps_s2_specs(hp00, oy, K, 1, interpret)
     return pl.pallas_call(
         partial(_fwd_taps_s2_kernel, m=m, Ho=Ho, Wo=Wo),
         grid=(B, Cq, K),
@@ -816,7 +816,7 @@ def _vjp_taps_s2_fwd(hp00, hp01, hp10, hp11, oy, ox, gate, m, K, interpret):
 def _vjp_taps_s2_bwd(m, K, interpret, res, ct):
     hp00, hp01, hp10, hp11, oy, ox, gate = res
     (B, Cout, Ho, Wo, tile, Cq, hp_spec, off_spec, out_spec,
-     limit) = _taps_s2_specs(hp00, oy, K, 2)
+     limit) = _taps_s2_specs(hp00, oy, K, 2, interpret)
     KC = hp00.shape[-1]
     hp_sds = jax.ShapeDtypeStruct(hp00.shape, hp00.dtype)
     off_sds = jax.ShapeDtypeStruct(oy.shape, jnp.float32)
@@ -835,11 +835,37 @@ def _vjp_taps_s2_bwd(m, K, interpret, res, ct):
 window_accumulate_taps_s2.defvjp(_vjp_taps_s2_fwd, _vjp_taps_s2_bwd)
 
 
-def _ctile(C: int, hp_elems: int = 0, out_elems: int = 0) -> int:
-    """Channel tile: Mosaic requires the lane-dim block to be a multiple of
-    128 or the full dimension; VMEM pressure is handled by `_vmem_limit`,
-    not by shrinking the tile."""
-    return 128 if C % 128 == 0 else C
+def taps_kernel_supported(Cout: int, K: int) -> bool:
+    """Mosaic lane-tiling legality for the stacked-tap kernels.
+
+    The hp/h arrays carry tap-major channels (lane dim = K*Cout) blocked per
+    tap, so the channel tile must divide Cout AND satisfy Mosaic's lane rule
+    (multiple of 128, or the full array dimension). Such a tile exists iff
+    Cout % 128 == 0 (tile 128) or K == 1 (tile == full dim). Callers
+    (`ops/deform_conv.py:deform_conv2d_pallas`) must route unsupported
+    channel counts to the XLA path instead of dispatching — checking tile ==
+    Cout against Cout alone was the r4 gate crash (block (1, 8, 8, 16) vs
+    array (..., 144) rejected by Mosaic on real TPU)."""
+    return Cout % 128 == 0 or K == 1
+
+
+def _ctile(C: int, lane_dim: int, interpret: bool = False) -> int:
+    """Channel tile for a block over an array whose LAST (lane) dimension is
+    `lane_dim`: Mosaic requires the lane-dim block to be a multiple of 128 or
+    equal to the full dimension. `C` is the per-tap channel count the tile
+    must divide (C == lane_dim for the single-tap kernels; lane_dim = K*C for
+    the stacked-tap kernels). The interpreter enforces no lane constraints,
+    so interpret mode keeps the per-tap tile for any C (CPU tests/oracles run
+    tiny channel counts). VMEM pressure is handled by `_vmem_limit`, not by
+    shrinking the tile."""
+    if C % 128 == 0:
+        return 128
+    if C == lane_dim or interpret:
+        return C
+    raise ValueError(
+        f"no legal Mosaic lane tile: per-tap channels {C} not a multiple of "
+        f"128 and != blocked lane dim {lane_dim}; gate on "
+        f"taps_kernel_supported() and fall back to the XLA path")
 
 
 def _vmem_limit(tile: int, *elem_counts: int) -> int:
@@ -867,7 +893,7 @@ def window_accumulate(hp: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
 def _fwd_impl(hp, oy, ox, m, interpret):
     B, Hp, Wp, C = hp.shape
     Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
-    ct = _ctile(C, Hp * Wp, Ho * Wo)
+    ct = _ctile(C, C)
     return pl.pallas_call(
         partial(_fwd_kernel, m=m, Ho=Ho, Wo=Wo),
         grid=(B, C // ct),
@@ -896,7 +922,7 @@ def _vjp_bwd(m, interpret, res, ct):
     hp, oy, ox = res
     B, Hp, Wp, C = hp.shape
     Ho, Wo = Hp - 2 * m - 1, Wp - 2 * m - 1
-    tile = _ctile(C, 2 * Hp * Wp, Ho * Wo)
+    tile = _ctile(C, C)
     dhp, doy, dox = pl.pallas_call(
         partial(_bwd_kernel, m=m, Ho=Ho, Wo=Wo),
         grid=(B, C // tile),
