@@ -149,7 +149,10 @@ def bench_retrieval() -> float:
     pools, opt_state, metrics = step(pools, opt_state, frozen, b)
     float(metrics["total"])
 
-    iters = 20
+    # 50 dependent iters: the tunneled chip pays ~0.5-4.6 ms of RPC
+    # dispatch per call depending on amortization depth (r4 measurement,
+    # scripts/profile_deform.py) — 20 iters under-reports by ~2%
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         pools, opt_state, metrics = step(pools, opt_state, frozen, b)

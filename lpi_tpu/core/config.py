@@ -92,15 +92,24 @@ class CLIPConfig:
     # was measured at 330 samples/s — the generic kernel pads 213->256 and
     # loses at this seq length — and deleted per the no-dead-kernels rule.)
     attn_impl: str = "bf16"
-    # Tower-block remat policy: 'dots_nb' (default) saves non-batched dot
-    # results (every Dense matmul) and recomputes attention + elementwise
-    # chains in backward; 'dots' also saves the [B,H,S,S] logits; 'none'
-    # saves everything. On a memory-squeezed chip 'none' triggers XLA's
-    # forced whole-block rematerialization (a FULL second forward, measured
-    # +35 ms on the b64 retrieval step — scripts/diag_backward.py); explicit
-    # policy remat is strictly cheaper: none 620.8 / dots 709.8 / dots_nb
-    # 762.6 samples/s (r4 sweep, b64 bf16)
-    remat: str = "dots_nb"
+    # Tower-block remat policy: 'none' (default) saves everything, 'dots_nb'
+    # saves non-batched dot results and recomputes attention + elementwise
+    # chains in backward, 'dots' also saves the [B,H,S,S] logits. The right
+    # choice COUPLES with tower_unroll (b64 bf16, v5e, r5 sweep): under a
+    # SCANNED tower (unroll=1) XLA forces whole-block remat when nothing is
+    # marked saveable, so policy remat wins there (none 618.0 / dots 709.8
+    # / dots_nb 760.1 samples/s); with the tower UNROLLED the scheduler
+    # keeps exactly the residuals it needs and 'none' wins outright
+    # (dots_nb 985.4 / none 1037.7 samples/s — the flagship default).
+    remat: str = "none"
+    # lax.scan unroll factor for the tower scans: >= layers = fully
+    # unrolled (default), letting XLA fuse LN/residual/cast chains across
+    # layer boundaries and schedule the whole tower as one stream —
+    # measured 760.1 (scanned, dots_nb) -> 1037.7 samples/s (unrolled,
+    # none) on the b64 retrieval train step (r5 sweep; ~12x program size,
+    # compile time is not latency-critical for training). 1 = smallest
+    # program (parity-scale CPU compiles).
+    tower_unroll: int = 12
 
 
 @dataclass(frozen=True)

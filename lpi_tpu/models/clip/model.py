@@ -165,7 +165,8 @@ class PromptedBlock(nn.Module):
 
 def _scan_tower(name: str, width: int, heads: int, layers: int, causal: bool,
                 dtype, x: jnp.ndarray, prompts: jnp.ndarray, gates: jnp.ndarray,
-                attn_impl: str = "xla", remat: str = "none"):
+                attn_impl: str = "xla", remat: str = "none",
+                unroll: int = 1):
     """Run `layers` blocks as nn.scan with per-layer prompt injection.
 
     remat='dots' wraps the block in nn.remat with the `dots_saveable`
@@ -182,6 +183,7 @@ def _scan_tower(name: str, width: int, heads: int, layers: int, causal: bool,
         split_rngs={"params": True},
         length=layers,
         in_axes=0,
+        unroll=min(unroll, layers),
     )(width=width, heads=heads, causal=causal, dtype=dtype,
       attn_impl=attn_impl, name=name)
     x, _ = tower(x, (prompts, gates))
@@ -248,6 +250,7 @@ class VisionTransformer(nn.Module):
             split_rngs={"params": True},
             length=c.vision_layers,
             in_axes=0,
+            unroll=min(c.tower_unroll, c.vision_layers),
         )(width=c.vision_width, heads=c.vision_heads, causal=False,
           dtype=self.dtype, attn_impl=c.attn_impl, name="transformer")
         self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")
@@ -330,7 +333,8 @@ class TextTransformer(nn.Module):
 
         x = _scan_tower("transformer", c.text_width, c.text_heads,
                         c.text_layers, True, self.dtype, x, prompts, gates,
-                        attn_impl=c.attn_impl, remat=c.remat)
+                        attn_impl=c.attn_impl, remat=c.remat,
+                        unroll=c.tower_unroll)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
 
         eot = jnp.argmax(token_ids, axis=-1)  # EOT has the largest token id

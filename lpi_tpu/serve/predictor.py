@@ -298,6 +298,40 @@ def draw_predictions(image: np.ndarray, result: dict):
     return im
 
 
+def draw_predictions_metric(image: np.ndarray, result: dict,
+                            metric: str = "R@1", thresh: float = 0.5,
+                            show_score: bool = True, box_pixel: int = 3):
+    """Metric-annotated overlay (`engine/predictor_glip.py:224-261`,
+    `visualize_with_predictions_metric`): keep the top-k detections for the
+    chosen recall metric (R@1/R@5/R@10) above `thresh`, draw boxes with a
+    score-graded color (low->red, high->green like the reference's
+    per-score coloring intent) and print each score at the box's mid-left
+    (`overlay_scores`, predictor_glip.py:440-450)."""
+    from PIL import Image, ImageDraw
+
+    k = {"R@1": 1, "R@5": 5, "R@10": 10}.get(metric, 1)
+    scores = np.asarray(result["scores"], np.float32)
+    order = np.argsort(-scores)
+    keep = [i for i in order if scores[i] > thresh][:k]
+
+    im = Image.fromarray(np.asarray(image, np.uint8)).convert("RGB")
+    draw = ImageDraw.Draw(im)
+    for i in keep:
+        s = float(scores[i])
+        # score-graded color: interpolate red (0) -> yellow (.5) -> green (1)
+        color = (int(255 * min(1.0, 2 * (1 - s))),
+                 int(255 * min(1.0, 2 * s)), 40)
+        x1, y1, x2, y2 = [float(v) for v in result["boxes"][i]]
+        draw.rectangle([x1, y1, x2, y2], outline=color, width=box_pixel)
+        ent = result["entities"][i] if i < len(result["entities"]) else "?"
+        draw.text((x1 + 2, max(y1 - 12, 0)), ent, fill=color)
+        if show_score:
+            draw.text((x1 + 2, (y1 + y2) / 2), f"{s:.3f}", fill=(255, 255, 255))
+    kept = {key: [result[key][i] for i in keep]
+            for key in ("boxes", "scores", "entities")}
+    return im, kept
+
+
 def launch_webui(predictor: GroundingPredictor, port: int = 7860):  # pragma: no cover
     """Gradio UI (reference `webui/index.py`); requires gradio installed."""
     try:
@@ -305,13 +339,19 @@ def launch_webui(predictor: GroundingPredictor, port: int = 7860):  # pragma: no
     except ImportError as e:
         raise RuntimeError("gradio is not installed in this environment") from e
 
-    def infer(caption, image):
+    def infer(caption, image, metric):
         result = predictor.predict(np.asarray(image), caption)
-        return draw_predictions(np.asarray(image), result)
+        if metric == "all":
+            return draw_predictions(np.asarray(image), result)
+        im, _ = draw_predictions_metric(np.asarray(image), result,
+                                        metric=metric)
+        return im
 
     demo = gr.Interface(
         fn=infer,
-        inputs=[gr.Textbox(label="caption"), gr.Image(label="image")],
+        inputs=[gr.Textbox(label="caption"), gr.Image(label="image"),
+                gr.Dropdown(["all", "R@1", "R@5", "R@10"], value="all",
+                            label="metric view")],
         outputs=gr.Image(label="grounded"),
         title="LPI-TPU grounding demo",
     )

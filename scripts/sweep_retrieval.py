@@ -1,10 +1,13 @@
 """Sweep retrieval train-step variants on the real chip (VERDICT r3 #4).
 
-Variants over (attn_impl, remat policy, block-LN dtype, batch). Prints a
+Variants over (attn_impl, remat policy, batch, tower_unroll). Prints a
 table of samples/s + ms/step so the winning default is a measured choice.
 r4 measurements (v5e, 100 iters): xla/none/b64 620.8; bf16/dots/b64 709.8;
-bf16/dots_nb/b64 762.6 (the default); flash attention 330.2 (deleted);
-bf16-LN 761.8 (no win, reverted); b96/b128 all lose per-sample.
+bf16/dots_nb/b64 762.6; flash attention 330.2 (deleted); bf16-LN 761.8 (no
+win, reverted); b96/b128 all lose per-sample.
+r5 measurements (v5e, 50 iters): bf16/dots_nb/u1 760.1; bf16/none/u1 618.0
+(scan forces whole-block remat); bf16/dots_nb/u12 985.4; bf16/none/u12
+1037.7 (the default: unrolled towers + no remat).
 
 Usage: python scripts/sweep_retrieval.py [iters]
 """
@@ -58,12 +61,16 @@ def main():
 
     base = RetrievalConfig()
     rows = []
-    for attn, remat, batch in (("bf16", "dots_nb", 64), ("bf16", "dots", 64),
-                               ("xla", "none", 64), ("bf16", "dots_nb", 128)):
+    # r5 variants: 'none' was only ever measured with xla/f32 attention
+    # (620.8); with bf16 score residuals the no-remat memory may now fit —
+    # and tower_unroll tests cross-layer fusion vs program size.
+    for attn, remat, batch, unroll in (
+            ("bf16", "dots_nb", 64, 1), ("bf16", "none", 64, 1),
+            ("bf16", "dots_nb", 64, 12), ("bf16", "none", 64, 12)):
         cfg = dataclasses.replace(
             base, clip=dataclasses.replace(base.clip, attn_impl=attn,
-                                           remat=remat))
-        tag = f"attn={attn:5s} remat={remat:7s} b={batch:3d}"
+                                           remat=remat, tower_unroll=unroll))
+        tag = f"attn={attn:5s} remat={remat:7s} b={batch:3d} u={unroll:2d}"
         try:
             sps, ms, loss0 = measure(cfg, batch, iters)
             rows.append((tag, sps))

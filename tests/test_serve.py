@@ -75,3 +75,22 @@ class TestPredictor:
         out = predictor.predict(image, "the ball")
         im = draw_predictions(image, out)
         assert im.size == (48, 48)
+
+
+def test_draw_predictions_metric(rng):
+    # pure-PIL path (no model): lives outside the slow predictor class
+    from lpi_tpu.serve.predictor import draw_predictions_metric
+
+    image = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    result = {"boxes": np.array([[2, 2, 20, 20], [5, 5, 30, 30],
+                                 [1, 1, 10, 10]], np.float32),
+              "scores": np.array([0.9, 0.7, 0.2], np.float32),
+              "entities": ["cat", "dog", "bird"]}
+    im, kept = draw_predictions_metric(image, result, metric="R@1",
+                                       thresh=0.5)
+    assert im.size == (48, 48)
+    assert len(kept["scores"]) == 1 and kept["entities"] == ["cat"]
+    _, kept5 = draw_predictions_metric(image, result, metric="R@5",
+                                       thresh=0.5)
+    # threshold drops the 0.2 box even under R@5
+    assert len(kept5["scores"]) == 2
