@@ -250,9 +250,17 @@ class GroundingLearner:
         return self._jit_cache[name]
 
     def extract_features(self, images) -> jnp.ndarray:
-        fn = self._jit("extract", lambda p, x: self.model.apply(
-            {"params": p}, x, method=self.model.extract_features))
-        return fn(self.params, jnp.asarray(images))
+        # task-ID decision path at full f32 matmul precision: key features
+        # from a near-collapsed promptless forward sit within bf16-pass
+        # rounding of each other, and TPU default precision flipped the
+        # on-chip gate's task-ID accuracy to 0.681 vs CPU's 0.875 (r5).
+        # Eval-time only — the train step never calls this.
+        def fwd(p, x):
+            with jax.default_matmul_precision("highest"):
+                return self.model.apply({"params": p}, x,
+                                        method=self.model.extract_features)
+
+        return self._jit("extract", fwd)(self.params, jnp.asarray(images))
 
     def cluster_task(self, dataset: GroundingTaskSet):
         cfg = self.cfg

@@ -313,17 +313,29 @@ class RetrievalLearner:
                     array, mesh_lib.data_sharding(self.mesh, array.ndim))
         return array
 
+    # Both extract_* feed the task-ID decision path (KMeans keys + eval
+    # task inference) and run at FULL f32 matmul precision: near-collapsed
+    # promptless features sit within bf16-pass rounding of each other, and
+    # TPU default precision measurably flips key assignments (the on-chip
+    # grounding gate's task-ID dropped 0.875 -> 0.681 before the same fix
+    # there, r5). Eval-time only — train steps never call these.
     def extract_visual(self, images) -> jnp.ndarray:
-        fn = self._jit_cached(
-            "extract_visual",
-            lambda p, x: self.model.apply({"params": p}, x, method=self.model.extract_visual))
-        return fn(self.params, self._put(images))
+        def fwd(p, x):
+            with jax.default_matmul_precision("highest"):
+                return self.model.apply({"params": p}, x,
+                                        method=self.model.extract_visual)
+
+        return self._jit_cached("extract_visual", fwd)(
+            self.params, self._put(images))
 
     def extract_textual(self, token_ids) -> jnp.ndarray:
-        fn = self._jit_cached(
-            "extract_textual",
-            lambda p, x: self.model.apply({"params": p}, x, method=self.model.extract_textual))
-        return fn(self.params, self._put(token_ids))
+        def fwd(p, x):
+            with jax.default_matmul_precision("highest"):
+                return self.model.apply({"params": p}, x,
+                                        method=self.model.extract_textual)
+
+        return self._jit_cached("extract_textual", fwd)(
+            self.params, self._put(token_ids))
 
     def cluster_task(self, dataset: RetrievalTrainSet):
         """KMeans task keys over the session's frozen features

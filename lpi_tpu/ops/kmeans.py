@@ -47,7 +47,9 @@ def _lloyd(x: jnp.ndarray, centers: jnp.ndarray, iters: int):
         assign = jnp.argmin(d2, axis=1)  # [N]
         onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)  # [N, k]
         counts = jnp.sum(onehot, axis=0)  # [k]
-        sums = onehot.T @ x  # [k, D]
+        # full-precision mean: centers of near-collapsed features must not
+        # absorb bf16-pass rounding (task-ID decision path)
+        sums = jnp.matmul(onehot.T, x, precision=jax.lax.Precision.HIGHEST)
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         # keep old center for empty clusters
         return jnp.where(counts[:, None] > 0, new, centers)
