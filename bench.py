@@ -327,7 +327,14 @@ def bench_grounding(image_size: int = 448, batch: int = 4) -> dict:
     from lpi_tpu.data.bert_tokenizer import BertTokenizer
     from lpi_tpu.data.grounding import synthetic_grounding_task
 
-    cfg = GroundingConfig(image_size=image_size, batch_size=batch)
+    # fused_scan_unroll=99: unrolling the Swin+BERT lockstep scan measured
+    # 43.48 vs 41.85 samples/s at this exact config on the v5e chip
+    # (scripts/sweep_grounding.py, r5) — same direction as the retrieval
+    # towers' +36% unroll win. The config default stays 1 (scanned body)
+    # because XLA:CPU compile of the unrolled program is what blew the r4
+    # multi-chip dryrun budget.
+    cfg = GroundingConfig(image_size=image_size, batch_size=batch,
+                          fused_scan_unroll=99)
     tok = BertTokenizer(max_len=cfg.bert.max_query_len)
     ds = synthetic_grounding_task(0, batch, image_size, tok,
                                   max_boxes=cfg.max_boxes)

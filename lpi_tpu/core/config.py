@@ -269,7 +269,11 @@ class GroundingConfig:
     # hardcodes Resize(448, 448, restrict=True) (`data/transforms/build.py:
     # 36-41`), overriding the yaml's 800/1333 (see data/transforms.py)
     image_size: int = 448
-    fused_scan_unroll: int = 1  # see FusedDualEncoder.scan_unroll
+    # FusedDualEncoder.scan_unroll. 1 = scanned lockstep body (fast XLA:CPU
+    # compile; the multi-chip dryrun and CPU tests need this). 99 = fully
+    # unrolled: measured 43.48 vs 41.85 samples/s at 448px/b4 on v5e
+    # (scripts/sweep_grounding.py, r5) — set it for real TPU training runs.
+    fused_scan_unroll: int = 1
     max_boxes: int = 100  # static padding of per-image GT boxes
     dtype: str = "bfloat16"
     knowledge: KnowledgeConfig = field(default_factory=KnowledgeConfig)

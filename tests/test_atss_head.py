@@ -3,11 +3,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from lpi_tpu.models.glip.atss_head import ATSSDetHead, atss_class_losses
 
-pytestmark = pytest.mark.fast
+# NOT in the `-m fast` lane: head forward + loss compiles are 15-30s each
+# on this 1-core box. These run in the default (`not slow`) suite.
 
 
 def _anchors():

@@ -15,14 +15,14 @@ replaces dynamic shapes with pad-to-max static bucketing
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.fast
-
 from lpi_tpu.data.transforms import AugmentConfig, train_transform
 
 SCALES = (32, 48, 64)
 
 
 class TestBucketBoxes:
+    pytestmark = pytest.mark.fast
+
     @pytest.mark.parametrize("scale", SCALES)
     def test_boxes_scale_per_bucket(self, scale):
         """Force one bucket; the box must scale by (s/W, s/H) and the image

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.fast
+# NOT in the `-m fast` lane: torch-oracle parity tests compile both a JAX
+# and a torch model per case (compile-bound, minutes on this 1-core box).
+# They run in the default (`not slow`) suite.
 import torch
 import torch.nn.functional as F
 

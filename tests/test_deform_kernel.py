@@ -8,7 +8,10 @@ import pytest
 from lpi_tpu.ops.deform_window_kernel import (window_accumulate,
                                               window_accumulate_reference)
 
-pytestmark = pytest.mark.fast
+# `-m fast` lane: only the small interpret-mode forward/window classes.
+# The grad-parity classes jit both the Pallas and the XLA-oracle paths
+# (10-50s compiles each on this 1-core box) and run in the default
+# (`not slow`) suite; the on-chip matrix lives in test_tpu_onchip.py.
 
 M = 2
 
@@ -21,6 +24,8 @@ def _inputs(rng, B=2, Ho=6, Wo=6, C=8, m=M):
 
 
 class TestForward:
+    pytestmark = pytest.mark.fast
+
     def test_matches_reference(self, rng):
         hp, oy, ox = _inputs(rng)
         got = window_accumulate(hp, oy, ox, M, True)
@@ -127,6 +132,8 @@ class TestDeformConvPallas:
 
 
 class TestWindowAccumulateTaps:
+    pytestmark = pytest.mark.fast
+
     """Stacked-tap kernel vs per-tap reference semantics."""
 
     def test_fwd_matches_reference(self, rng):

@@ -23,8 +23,6 @@ from lpi_tpu.data.knowledge import (
 )
 from lpi_tpu.models.glip.grounding import GroundedVLModel
 
-pytestmark = pytest.mark.fast
-
 KNOW = {
     "cat": {"clean_name": "cat", "def_wiki": "a small feline.",
             "gpt3": ["cats purr.", "cats have whiskers.", "cats nap."]},
@@ -35,6 +33,8 @@ KNOW = {
 
 
 class TestCaptionConstruction:
+    pytestmark = pytest.mark.fast
+
     def test_plain_names_without_knowledge(self):
         caps = construct_knowledge_captions(["cat", "dog"], None)
         assert caps == ["cat", "dog"]
@@ -64,6 +64,8 @@ class TestCaptionConstruction:
 
 
 class TestClassSampling:
+    pytestmark = pytest.mark.fast
+
     CLASSES = ["cat", "dog", "bus", "car", "bird", "boat"]
 
     def test_batch_labels_kept_and_padded_with_negatives(self):

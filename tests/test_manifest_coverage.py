@@ -22,8 +22,9 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.fast
-
+# NOT in the `-m fast` lane: both manifest-coverage classes init the
+# full-size model trees (400s-class compiles on this 1-core box). They run
+# in the default (`not slow`) suite.
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
 

@@ -7,9 +7,6 @@ import pytest
 
 from lpi_tpu.models.glip.retina import RetinaNetHead, retina_losses, retina_match
 
-pytestmark = pytest.mark.fast
-
-
 class TestRetinaHead:
     def test_output_shapes(self, rng):
         head = RetinaNetHead(num_classes=7, num_anchors=9, channels=16,
@@ -32,6 +29,8 @@ class TestRetinaHead:
 
 
 class TestMatcher:
+    pytestmark = pytest.mark.fast
+
     ANCHORS = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30],
                            [100, 100, 110, 110]], jnp.float32)
 

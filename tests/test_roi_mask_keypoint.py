@@ -15,9 +15,6 @@ from lpi_tpu.models.glip.roi_mask_keypoint import (
     pool_rois,
 )
 
-pytestmark = pytest.mark.fast
-
-
 class TestMaskHead:
     def test_shapes(self, rng):
         head = MaskHead(num_classes=5, channels=8, num_convs=2)
@@ -53,6 +50,8 @@ class TestMaskHead:
 
 
 class TestKeypointHead:
+    pytestmark = pytest.mark.fast
+
     def test_shapes(self, rng):
         head = KeypointHead(num_keypoints=4, channels=8, num_convs=2,
                             heatmap_size=16)
@@ -83,6 +82,8 @@ class TestKeypointHead:
 
 
 class TestPoolRois:
+    pytestmark = pytest.mark.fast
+
     def test_shapes(self, rng):
         feats = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
         rois = jnp.asarray([[0.0, 0.0, 8.0, 8.0], [4.0, 4.0, 12.0, 12.0]])
