@@ -68,7 +68,9 @@ class GroundingLearner:
             params = traverse_util.unflatten_dict(flat)
         self.params = params
         if mesh is not None:
-            self.params = mesh_lib.replicate(mesh, self.params)
+            # TP layouts over the model axis when present (see core/mesh.py);
+            # plain replication on a dp-only mesh
+            self.params = mesh_lib.shard_params(mesh, self.params)
 
         T = cfg.total_tasks
         sim = np.eye(T, dtype=np.float32) if task_sim_matrix is None else np.asarray(task_sim_matrix)

@@ -93,7 +93,9 @@ class RetrievalLearner:
             params = traverse_util.unflatten_dict(flat)
         self.params = params
         if mesh is not None:
-            self.params = mesh_lib.replicate(mesh, self.params)
+            # TP layouts for the tower weights when the mesh has a model
+            # axis (replication otherwise — identical to before on dp-only)
+            self.params = mesh_lib.shard_params(mesh, self.params)
 
         T = cfg.total_sessions
         if task_sim_matrix is None:
