@@ -1,1 +1,1 @@
-from lpi_tpu.core import config, mesh  # noqa: F401
+from lpi_tpu.core import config, mesh, pipeline  # noqa: F401
