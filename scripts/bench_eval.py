@@ -37,15 +37,7 @@ def main():
 
     cfg = RetrievalConfig()
     learner = RetrievalLearner(cfg)
-    # populate keys for all 12 tasks (random centers: timing, not accuracy)
     rng = np.random.RandomState(0)
-    for t in range(cfg.total_sessions):
-        vc = jnp.asarray(rng.randn(cfg.num_key_clusters, cfg.visual_dim),
-                         jnp.float32)
-        tc = jnp.asarray(rng.randn(cfg.num_key_clusters, cfg.textual_dim),
-                         jnp.float32)
-        learner.visual_keys = learner.visual_keys.update(t, vc)
-        learner.textual_keys = learner.textual_keys.update(t, tc)
 
     b_img = cfg.batch_size
     b_txt = cfg.eval_text_chunk
@@ -54,6 +46,15 @@ def main():
     ids[:, 0] = 49406
     ids[:, -1] = 49407
     ids = jnp.asarray(ids)
+
+    # populate keys for all 12 tasks (random centers: timing, not accuracy);
+    # the frozen extractors return CLIP joint-space features (embed_dim)
+    d = cfg.clip.embed_dim
+    for t in range(cfg.total_sessions):
+        vc = jnp.asarray(rng.randn(cfg.num_key_clusters, d), jnp.float32)
+        tc = jnp.asarray(rng.randn(cfg.num_key_clusters, d), jnp.float32)
+        learner.visual_keys = learner.visual_keys.update(t, vc)
+        learner.textual_keys = learner.textual_keys.update(t, tc)
 
     enc_img = learner._jit_cached(
         "encode_image_tasks",
